@@ -1,0 +1,240 @@
+"""Typed MPC configuration dataclasses + the quadruped catalog.
+
+Mirrors the reference's two-tier config system
+(`mpc_controller/config/config_abstract.py`, `config/quadruped/*.py`):
+GaitConfig / MPCOptConfig / MPCCostConfig with invariant checks, resolved by
+(robot, gait) factories. Solver-backend knobs that were acados/HPIPM-specific
+(hpipm_mode, use_cython, recompile) are replaced by the knobs of the TPU
+GN-SQP solver (penalty weights, line-search set, Levenberg regularization).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Tuple
+
+import numpy as np
+
+
+@dataclass
+class GaitConfig:
+    """Periodic gait description (reference `config_abstract.py:9-25`)."""
+
+    gait_name: str
+    nominal_period: float
+    stance_ratio: np.ndarray
+    phase_offset: np.ndarray
+    nom_height: float
+    step_height: float
+    n_eeff: int = 4
+
+    def __post_init__(self):
+        self.stance_ratio = np.asarray(self.stance_ratio, dtype=np.float64)
+        self.phase_offset = np.asarray(self.phase_offset, dtype=np.float64)
+        assert np.all((0 <= self.stance_ratio) & (self.stance_ratio <= 1)), \
+            "stance_ratio should be in [0,1]"
+        assert np.all((0 <= self.phase_offset) & (self.phase_offset <= 1)), \
+            "phase_offset should be in [0,1]"
+        assert len(self.stance_ratio) == self.n_eeff
+        assert len(self.phase_offset) == self.n_eeff
+
+
+@dataclass
+class MPCOptConfig:
+    """Optimizer + controller loop configuration
+    (reference `config_abstract.py:29-94` + `mpc_opt.py:8-27`)."""
+
+    time_horizon: float = 1.0
+    n_nodes: int = 25
+    replanning_freq: int = 25
+    Kp: float = 20.0
+    Kd: float = 1.75
+    # SQP iterations: steady-state (RTI-style) / first solve
+    max_iter: int = 1
+    max_iter_first: int = 15
+    # Inner-loop (cone projection / constraint sweep) iterations per SQP step
+    max_qp_iter: int = 6
+    # Enable per-node dt optimization (reference keeps this off by default)
+    enable_time_opt: bool = False
+    opt_dt_scale: Tuple[float, float] = (0.5, 1.75)
+    opt_peak: bool = True
+    warm_start_sol: bool = True
+    torque_limit: bool = True
+    mu: float = 0.7
+    nlp_tol: float = 1.0e-1
+    qp_tol: float = 1.0e-2
+    # --- TPU solver knobs (replace hpipm_mode/use_cython/recompile) ---
+    # Levenberg-Marquardt regularization added to the input-Hessian blocks
+    lm_reg: float = 1.0e-6
+    # Parallel line-search candidates (evaluated simultaneously via vmap)
+    ls_alphas: Tuple[float, ...] = (1.0, 0.5, 0.25, 0.1)
+    # Penalty weights for the constraint residuals (quadratic / AL)
+    w_dyn: float = 1.0e3        # centroidal dynamics consistency (6,)
+    w_contact: float = 1.0e3    # active-contact foot velocity pinning (4,3)
+    w_cone: float = 1.0e1       # friction-cone hinge
+    w_swing_height: float = 1.0e3  # swing foot above ground hinge
+    w_torque: float = 1.0e0     # torque-limit hinge
+
+    def __post_init__(self):
+        assert len(self.opt_dt_scale) == 2
+        assert self.mu > 0
+
+    def get_dt_nodes(self) -> float:
+        return round(self.time_horizon / self.n_nodes, 4)
+
+    def get_dt_bounds(self) -> Tuple[float, float]:
+        dt = self.get_dt_nodes()
+        return (round(dt * self.opt_dt_scale[0], 4), round(dt * self.opt_dt_scale[1], 4))
+
+    @property
+    def replan_steps_1khz(self) -> int:
+        return int(1.0 / (self.replanning_freq * 1.0e-3))
+
+
+@dataclass
+class MPCCostConfig:
+    """Weight tables (reference `config_abstract.py:98-146`)."""
+
+    robot_name: str
+    gait_name: str
+    W_e_base: np.ndarray
+    W_base: np.ndarray
+    W_joint: np.ndarray
+    W_e_joint: np.ndarray
+    W_acc: np.ndarray
+    W_swing: np.ndarray
+    W_cnt_f_reg: np.ndarray
+    W_foot_pos_constr_stab: np.ndarray
+    W_foot_displacement: np.ndarray
+    cnt_radius: float
+    time_opt: float
+    reg_eps: float
+    reg_eps_e: float
+
+    def __post_init__(self):
+        for name in (
+            "W_e_base", "W_base", "W_joint", "W_e_joint", "W_acc", "W_swing",
+            "W_cnt_f_reg", "W_foot_pos_constr_stab", "W_foot_displacement",
+        ):
+            setattr(self, name, np.asarray(getattr(self, name), dtype=np.float64))
+        assert len(self.W_e_base) == 12, "W_e_base must be of shape 12"
+        assert len(self.W_base) == 12, "W_base must be of shape 12"
+        assert len(self.W_acc) == 12, "W_acc must be of shape 12"
+        assert self.W_joint.shape == (24,)
+        assert self.W_e_joint.shape == (24,)
+        assert len(self.W_swing) == len(self.W_cnt_f_reg)
+        assert len(self.W_swing) == len(self.W_foot_pos_constr_stab)
+        assert self.W_cnt_f_reg.shape[-1] == 3
+
+
+# ---------------------------------------------------------------------------
+# Gait catalog (reference `config/quadruped/mpc_gait.py:15-86`)
+# ---------------------------------------------------------------------------
+
+def _gait(name, period, stance, offset, nom_h, step_h):
+    return GaitConfig(
+        gait_name=name,
+        nominal_period=period,
+        stance_ratio=np.array(stance),
+        phase_offset=np.array(offset),
+        nom_height=nom_h,
+        step_height=step_h,
+    )
+
+
+GAITS = {
+    "trot": _gait("trot", 0.5, [0.5] * 4, [0.5, 0.0, 0.0, 0.5], 0.30, 0.05),
+    "slow_trot": _gait("slow_trot", 1.0, [0.63] * 4, [0.5, 0.0, 0.0, 0.5], 0.32, 0.065),
+    "jump": _gait("jump", 50.0, [0.4] * 4, [0.0] * 4, 0.3, 0.05),
+    "crawl": _gait("crawl", 1.0, [0.75] * 4, [0.0, 0.25, 0.5, 0.75], 0.3, 0.05),
+    "pace": _gait("pace", 0.5, [0.6] * 4, [0.0, 0.5, 0.5, 0.0], 0.30, 0.05),
+    "bound": _gait("bound", 0.5, [0.6] * 4, [0.5, 0.5, 0.0, 0.0], 0.30, 0.05),
+}
+
+
+# ---------------------------------------------------------------------------
+# Cost catalog (reference `config/quadruped/mpc_cost.py`)
+# ---------------------------------------------------------------------------
+
+_HIP_SHOULDER_ELBOW = [15.0, 5.0, 1.0]
+
+
+def _go2_trot_cost() -> MPCCostConfig:
+    return MPCCostConfig(
+        robot_name="go2",
+        gait_name="trot",
+        W_base=np.array([
+            1e3, 3e3, 1e2,
+            5e2, 5e2, 5e2,
+            5e2, 1e1, 1e0,
+            1e0, 2e1, 1e1,
+        ]),
+        W_e_base=np.array([
+            1e1, 1e1, 1e3,
+            1e1, 1e2, 1e2,
+            5e2, 5e2, 1e3,
+            1e1, 1e2, 1e2,
+        ]),
+        W_joint=np.array(_HIP_SHOULDER_ELBOW * 4 + [0.03] * 12) * 5.0,
+        W_e_joint=np.array(_HIP_SHOULDER_ELBOW * 4 + [0.1] * 12) * 1.0,
+        W_acc=np.array(_HIP_SHOULDER_ELBOW * 4) * 5.0e-4,
+        W_swing=np.array([2e4] * 4),
+        W_cnt_f_reg=np.array([[0.01, 0.01, 0.05]] * 4),
+        W_foot_pos_constr_stab=np.array([5e1] * 4),
+        W_foot_displacement=np.array([1e3]),
+        cnt_radius=0.015,
+        time_opt=1.0e4,
+        reg_eps=1.0e-6,
+        reg_eps_e=1.0e-5,
+    )
+
+
+def _go2_slow_trot_cost() -> MPCCostConfig:
+    W = np.array([
+        0e0, 0e0, 5e3,
+        0e0, 3e3, 3e3,
+        0e0, 0e0, 1e1,
+        1e0, 1e2, 2e2,
+    ])
+    return MPCCostConfig(
+        robot_name="go2",
+        gait_name="slow_trot",
+        W_base=W * 7.0,
+        W_e_base=W * 10.0,
+        W_joint=np.array(_HIP_SHOULDER_ELBOW * 4 + [0.0] * 12) * 0.1,
+        W_e_joint=np.zeros(24),
+        W_acc=np.array([7.0, 3.0, 1.0] * 4) * 1.0e-2,
+        W_swing=np.array([5e5] * 4),
+        W_cnt_f_reg=np.array([[1.2, 1.2, 0.9]] * 4),
+        W_foot_pos_constr_stab=np.array([5e1] * 4),
+        W_foot_displacement=np.array([1e6]),
+        cnt_radius=0.005,
+        time_opt=1.0e4,
+        reg_eps=1.0e-6,
+        reg_eps_e=1.0e-5,
+    )
+
+
+def _solo12_trot_cost() -> MPCCostConfig:
+    # Scaled-down Go2 table (Solo12 is ~5x lighter).
+    cfg = _go2_trot_cost()
+    cfg.robot_name = "solo12"
+    cfg.W_cnt_f_reg = cfg.W_cnt_f_reg * 5.0
+    return cfg
+
+
+COSTS = {
+    ("go2", "trot"): _go2_trot_cost,
+    ("go2", "slow_trot"): _go2_slow_trot_cost,
+    ("solo12", "trot"): _solo12_trot_cost,
+}
+
+
+def get_quadruped_config(gait_name: str, robot_name: str):
+    """(gait, opt, cost) factory — reference `config/quadruped/utils.py:8-17`."""
+    gait = GAITS.get(gait_name.lower())
+    if gait is None:
+        raise ValueError(f"{gait_name} not available.")
+    cost_fn = COSTS.get((robot_name.lower(), gait_name.lower()))
+    if cost_fn is None:
+        raise ValueError(f"Cost config: {gait_name} for {robot_name} not available.")
+    return gait, MPCOptConfig(), cost_fn()
