@@ -1,0 +1,100 @@
+"""Goal-conditioned policy network in Flax — replaces the torch MLP
+(`Behavior_Cloning/utils/network.py:7-81`): Linear -> [BatchNorm] -> ReLU
+stacks with Kaiming (fan-in, ReLU) init, plus the experimental dropout
+variant (`network_experimental.py`). Deployed configuration: 47 -> 512x3 -> 12
+with batch norm (`RolloutPolicy.py:37,42-47,230-244`).
+
+Checkpoints are a pure-python payload {params, batch_stats, norm_policy_input}
+saved with pickle — the role of the reference's .pth files
+(`test_train_policy.py:204-219`).
+"""
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Any, Dict, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+kaiming = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
+
+
+class GoalConditionedPolicyNet(nn.Module):
+    input_size: int
+    output_size: int
+    num_hidden_layer: int = 4
+    hidden_dim: int = 256
+    batch_norm: bool = False
+    dropout_rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        assert self.num_hidden_layer > 0
+        for _ in range(self.num_hidden_layer):
+            x = nn.Dense(self.hidden_dim, kernel_init=kaiming,
+                         bias_init=nn.initializers.zeros)(x)
+            if self.batch_norm:
+                x = nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
+            if self.dropout_rate > 0.0:
+                x = nn.Dropout(rate=self.dropout_rate, deterministic=not train)(x)
+            x = nn.relu(x)
+        return nn.Dense(self.output_size, kernel_init=kaiming,
+                        bias_init=nn.initializers.zeros)(x)
+
+
+def init_network(
+    key,
+    input_size: int,
+    output_size: int,
+    num_hidden_layer: int = 3,
+    hidden_dim: int = 512,
+    batch_norm: bool = True,
+    dropout_rate: float = 0.0,
+):
+    net = GoalConditionedPolicyNet(
+        input_size=input_size,
+        output_size=output_size,
+        num_hidden_layer=num_hidden_layer,
+        hidden_dim=hidden_dim,
+        batch_norm=batch_norm,
+        dropout_rate=dropout_rate,
+    )
+    variables = net.init(key, jnp.zeros((1, input_size)), train=False)
+    return net, variables
+
+
+def save_policy(
+    path: str,
+    variables: Dict[str, Any],
+    norm_policy_input: Optional[Sequence] = None,
+    net_config: Optional[Dict[str, Any]] = None,
+) -> str:
+    """Save payload {network weights, normalization stats} — the contract the
+    controllers load (`RolloutPolicy.py:237,266-274`)."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    payload = {
+        "variables": jax.tree.map(lambda x: jax.device_get(x), variables),
+        "norm_policy_input": norm_policy_input,
+        "net_config": net_config or {},
+    }
+    with open(path, "wb") as f:
+        pickle.dump(payload, f)
+    return path
+
+
+def load_policy(path: str):
+    """Returns (net, variables, norm_policy_input)."""
+    with open(path, "rb") as f:
+        payload = pickle.load(f)
+    cfg = payload.get("net_config", {})
+    net = GoalConditionedPolicyNet(
+        input_size=cfg.get("input_size", 47),
+        output_size=cfg.get("output_size", 12),
+        num_hidden_layer=cfg.get("num_hidden_layer", 3),
+        hidden_dim=cfg.get("hidden_dim", 512),
+        batch_norm=cfg.get("batch_norm", True),
+        dropout_rate=cfg.get("dropout_rate", 0.0),
+    )
+    return net, payload["variables"], payload.get("norm_policy_input")

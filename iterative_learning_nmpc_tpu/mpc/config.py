@@ -162,8 +162,11 @@ def _go2_trot_cost() -> MPCCostConfig:
     return MPCCostConfig(
         robot_name="go2",
         gait_name="trot",
+        # base-z running weight raised vs the reference table (1e2 there):
+        # with soft contact/dynamics penalties the height needs a stronger
+        # direct incentive than acados' hard-constrained formulation did.
         W_base=np.array([
-            1e3, 3e3, 1e2,
+            1e3, 3e3, 2e3,
             5e2, 5e2, 5e2,
             5e2, 1e1, 1e0,
             1e0, 2e1, 1e1,

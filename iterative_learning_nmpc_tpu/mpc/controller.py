@@ -1,0 +1,466 @@
+"""Closed-loop locomotion MPC controller.
+
+TPU re-design of the reference `LocomotionMPC` (`mpc_controller/mpc.py:19-694`):
+
+- The *entire* replan — warm-start shift, GN-SQP solve, Hermite interpolation
+  to the control rate, ZOH inputs, and feed-forward RNEA torques along the
+  interpolated plan — is ONE jitted device call (`_plan`). The 1 kHz host loop
+  then only does array lookups + joint PD (tiny numpy ops).
+- Asynchronous replanning keeps the reference's structure: a 1-worker
+  ThreadPoolExecutor runs the device call concurrently with sim stepping
+  (`mpc.py:163-166,507-569`), with the same delay compensation
+  `ceil(replan_time/sim_dt) - 1` (`mpc.py:548-555`).
+- First solve runs `max_iter_first` SQP iterations, steady state runs
+  `max_iter` (RTI) — two jit specializations, mirroring `mpc.py:464-473`.
+"""
+from __future__ import annotations
+
+import math
+import time
+import traceback
+from collections import defaultdict
+from concurrent.futures import Future, ThreadPoolExecutor
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..gait.planner import ContactPlanner, CustomContactPlanner, RaibertContactPlanner
+from ..models import dynamics as dyn
+from ..models import transforms_np as tnp
+from ..mpc.config import get_quadruped_config
+from ..mpc.interpolate import interpolate_plan
+from ..robots.spec import RobotSpec
+from ..solver.sqp import TrajOptSolver, make_params
+from ..utils.profiling import print_timings, time_fn
+
+
+class LocomotionMPC:
+    """Velocity-tracking whole-body MPC for a quadruped."""
+
+    def __init__(
+        self,
+        spec: RobotSpec,
+        gait_name: str = "trot",
+        joint_ref: Optional[np.ndarray] = None,
+        sim_dt: float = 1.0e-3,
+        height_offset: float = 0.0,
+        contact_planner: str = "",
+        interactive_goal: bool = False,
+        print_info: bool = False,
+        compute_timings: bool = True,
+        solve_async: bool = True,
+        async_sim_latency: float = 0.02,
+        dtype=jnp.float32,
+    ) -> None:
+        """async_sim_latency: when the co-simulation does not run in real
+        time, model the solver latency in SIM seconds — the plan becomes
+        available `async_sim_latency` sim-seconds after submission and the
+        delay compensation uses that figure. Set to None to use wall-clock
+        latency like the reference (only meaningful for real-time runs)."""
+        self.spec = spec
+        self.gait_name = gait_name
+        self.print_info = print_info
+        self.height_offset = height_offset
+        self.config_gait, self.config_opt, self.config_cost = get_quadruped_config(
+            gait_name, spec.name
+        )
+        self.solver = TrajOptSolver(spec, self.config_opt, self.config_cost, dtype=dtype)
+
+        self.nu = spec.nu
+        self.nv = spec.nv
+        self.n_foot = spec.n_foot
+        self.joint_ref = (
+            np.asarray(spec.q_home[6:], dtype=np.float64)
+            if joint_ref is None
+            else np.asarray(joint_ref, dtype=np.float64)[-self.nu:]
+        )
+
+        # Contact-plane height for the FOOT CENTER: the physical foot sphere
+        # rests with its center one radius above the ground. Getting this
+        # wrong makes the stance PD press into the floor and the base climb.
+        self._ground = float(height_offset) + float(np.asarray(spec.foot_radius))
+
+        # contact planner selection (mpc.py:78-105)
+        self._contact_planner_str = contact_planner
+        feet = spec.feet_frame_names
+        dt_nodes = self.solver.dt_nodes
+        if contact_planner.lower() == "raibert":
+            q0 = np.asarray(spec.q_home, dtype=np.float64)
+            hip_idx = [6 + 3 * i for i in range(4)]
+            # hip xy offsets in base frame
+            offset_hip_b = np.zeros((4, 3))
+            offset_hip_b[:, :2] = np.asarray(spec.joint_pos)[hip_idx, :2]
+            self.contact_planner = RaibertContactPlanner(
+                feet, dt_nodes, self.config_gait, offset_hip_b,
+                y_offset=0.02, x_offset=0.04, foot_size=0.0085, cache_cnt=False,
+            )
+            self.restrict_cnt = True
+        elif contact_planner.lower() == "custom":
+            self.contact_planner = CustomContactPlanner(feet, dt_nodes, self.config_gait)
+            self.restrict_cnt = True
+        else:
+            self.contact_planner = ContactPlanner(feet, dt_nodes, self.config_gait)
+            self.restrict_cnt = False
+
+        # loop constants
+        self.Kp = self.config_opt.Kp
+        self.Kd = self.config_opt.Kd
+        self.sim_dt = sim_dt
+        self.dt_nodes: float = dt_nodes
+        self.replanning_freq = self.config_opt.replanning_freq
+        self.replanning_steps = int(1 / (self.replanning_freq * sim_dt))
+        self.solve_async = solve_async
+        self.async_sim_latency = async_sim_latency
+        self.compute_timings = compute_timings
+        self.interactive_goal = interactive_goal
+        self.n_interp_plan = round(self.config_opt.time_horizon / sim_dt)
+
+        self._build_plan_fn()
+        self.reset(reset_solver=False)
+
+    # ------------------------------------------------------------------
+    def _build_plan_fn(self):
+        solver = self.solver
+        n_interp = self.n_interp_plan
+        spec = self.spec
+
+        def plan(X_prev, U_prev, shift, params, n_iter):
+            X_ws, U_ws = solver.shift_warmstart(X_prev, U_prev, shift)
+            X_ws = X_ws.at[0].set(params.x0)
+            sol = solver.solve(X_ws, U_ws, params, n_iter)
+            q_plan, v_plan, id_rep = interpolate_plan(
+                sol.q, sol.v, sol.a, params.dt, n_interp
+            )
+            a_plan = sol.a[id_rep]
+            f_plan = sol.f[id_rep]
+            tau_ff = jax.vmap(partial(dyn.id_torques, spec))(q_plan, v_plan, a_plan, f_plan)
+            return sol.X, sol.U, q_plan, v_plan, a_plan, f_plan, tau_ff, sol.stats
+
+        self._plan_jit = jax.jit(plan, static_argnums=4)
+
+    # ------------------------------------------------------------------
+    def reset(self, reset_solver: bool = True) -> None:
+        self.first_solve = True
+        self.diverged = False
+        self.t0 = 0.0
+        self.sim_step = 0
+        self.plan_step = 0
+        self.current_opt_node = 0
+        self.last_node = 0
+        self.delay = 0
+
+        self.v_des = np.zeros(3)
+        self.w_des = np.zeros(3)
+        self.base_ref_vel_tracking = np.zeros(12)
+
+        self.q_plan = np.zeros((self.n_interp_plan, self.nv))
+        self.v_plan = np.zeros((self.n_interp_plan, self.nv))
+        self.a_plan = np.zeros((self.n_interp_plan, self.nv))
+        self.f_plan = np.zeros((self.n_interp_plan, self.n_foot, 3))
+        self.tau_ff_plan = np.zeros((self.n_interp_plan, self.nu))
+        self.torques_dof = np.zeros(self.nv)
+
+        self._X_prev = None
+        self._U_prev = None
+
+        # plots / records
+        self.q_full, self.v_full, self.a_full, self.f_full, self.tau_full = [], [], [], [], []
+        self.timings = defaultdict(list)
+
+        self.executor = ThreadPoolExecutor(max_workers=1)
+        self.optimize_future: Future = Future()
+        self.plan_submitted = False
+
+        self.velocity_goal = None
+        if self.interactive_goal:
+            from ..utils.interactive import SetVelocityGoal
+
+            self.velocity_goal = SetVelocityGoal()
+
+    # ------------------------------------------------------------------
+    def set_command(self, v_des: np.ndarray = np.zeros(3), w_yaw: float = 0.0) -> None:
+        self.v_des = np.asarray(v_des, dtype=np.float64)
+        self.w_des[2] = w_yaw
+
+    def increment_base_ref_position(self):
+        """Integrate the velocity goal into the tracked base reference
+        (mpc.py:204-208)."""
+        R_WB = tnp.ypr_to_matrix(
+            np.array([self.base_ref_vel_tracking[3], 0.0, 0.0])
+        )
+        v_des_glob = np.round(R_WB @ self.v_des, 1)
+        self.base_ref_vel_tracking[:2] += v_des_glob[:2] * self.sim_dt
+        self.base_ref_vel_tracking[3] += self.w_des[2] * self.sim_dt
+
+    def compute_base_ref_vel_tracking(self, q: np.ndarray):
+        """Velocity-tracking base reference (mpc.py:210-272)."""
+        t_horizon = self.config_opt.time_horizon
+        base_ref = np.zeros(12)
+        base_ref[:2] = np.round(q[:2], 2)
+        base_ref[2] = self.config_gait.nom_height + self.height_offset
+        base_ref[3] = round(q[3], 1)
+
+        R_WB = tnp.ypr_to_matrix(np.array([self.base_ref_vel_tracking[3], 0.0, 0.0]))
+        v_des_glob = np.round(R_WB @ self.v_des, 1)
+        base_ref[6:9] = v_des_glob
+        base_ref[9:12] = self.w_des  # [wz(yaw rate), wy, wx] chart rates
+
+        base_ref_e = base_ref.copy()
+        R_yaw = tnp.ypr_to_matrix(np.array([self.w_des[2] * t_horizon, 0.0, 0.0]))
+        base_ref_e[6:9] = R_yaw @ base_ref[6:9]
+
+        if self.velocity_goal is not None:
+            pos_ref = np.round(q[:3], 2)
+            yaw_ref = q[3]
+        else:
+            pos_ref = self.base_ref_vel_tracking[:3]
+            yaw_ref = self.base_ref_vel_tracking[3]
+
+        base_ref_e[:2] = pos_ref[:2] + v_des_glob[:2] * t_horizon
+        base_ref_e[3] = yaw_ref + self.w_des[2] * t_horizon
+        # intermediate running ref (mpc.py:262-263)
+        base_ref[:2] += (base_ref_e[:2] - base_ref[:2]) * 0.75
+        base_ref[3] += (base_ref_e[3] - base_ref[3]) * 0.75
+        # flatten roll/pitch and terminal vertical motion (mpc.py:265-270)
+        base_ref_e[8] = 0.0
+        base_ref_e[4:6] = 0.0
+        base_ref[4:6] = 0.0
+        base_ref_e[10:12] = 0.0
+        return base_ref, base_ref_e
+
+    def compute_base_ref_cnt_restricted(self, q: np.ndarray, cnt_loc: np.ndarray):
+        """Base reference from a contact plan (mpc.py:274-315)."""
+        nonzero = np.all(cnt_loc != 0.0, axis=-1)  # (4, n_nodes)
+        first_ids = np.argwhere(nonzero.all(axis=0))
+        base_ref = np.zeros(12)
+        base_ref_e = np.zeros(12)
+        if len(first_ids) > 0:
+            i0, i1 = int(first_ids[0]), int(first_ids[-1])
+            center_first = cnt_loc[:, i0, :].mean(axis=0)
+            center_last = cnt_loc[:, i1, :].mean(axis=0)
+        else:
+            center_first = cnt_loc[:, 0, :].mean(axis=0)
+            center_last = cnt_loc[:, -1, :].mean(axis=0)
+        alpha = 0.35
+        base_ref[:2] = alpha * center_first[:2] + (1 - alpha) * center_last[:2]
+        base_ref_e[:2] = center_last[:2]
+        base_ref[2] = self.config_gait.nom_height + self.height_offset
+        base_ref_e[2] = base_ref[2]
+        return base_ref, base_ref_e
+
+    # ------------------------------------------------------------------
+    @time_fn("optimize")
+    def optimize(self, q: np.ndarray, v: np.ndarray):
+        """One full replan: assemble parameters, solve, interpolate.
+
+        Runs on the worker thread; everything heavy is inside the jitted
+        `_plan` (device).
+        """
+        node = self.current_opt_node
+        N = self.config_opt.n_nodes
+
+        if self.velocity_goal is not None:
+            self.v_des, self.w_des[2] = self.velocity_goal.get_velocity()
+
+        cnt = self.contact_planner.get_contacts(node, N + 1).astype(np.float32)
+        peak = (
+            self.contact_planner.get_peaks(node, N + 1).astype(np.float32)
+            if self.config_opt.opt_peak
+            else 1.0 - cnt
+        )
+        cnt_loc = None
+        if self.restrict_cnt:
+            if self._contact_planner_str.lower() == "raibert":
+                com_xyz = np.asarray(dyn.com_position(self.spec, jnp.asarray(q)))
+                self.contact_planner.set_state(
+                    q[:3], v[:3], q[3:6][::-1], com_xyz, self.v_des, self.w_des[2]
+                )
+            cnt_loc = self.contact_planner.get_locations(node, N + 1)
+            base_ref, base_ref_e = self.compute_base_ref_cnt_restricted(q, cnt_loc)
+        else:
+            base_ref, base_ref_e = self.compute_base_ref_vel_tracking(q)
+
+        x0 = np.concatenate([q, v]).astype(np.float32)
+        plane = np.zeros((4, N + 1, 3), dtype=np.float32)
+        plane[:, :, 2] = self._ground
+        if cnt_loc is not None:
+            # pin active contacts to the planned xy + ground z where provided
+            provided = np.all(cnt_loc != 0.0, axis=-1)
+            plane[:, :, :2] = np.where(provided[:, :, None], cnt_loc[:, :, :2], 0.0)
+
+        params = make_params(
+            self.solver,
+            x0,
+            cnt,
+            peak=peak,
+            plane_point=plane,
+            cnt_loc=np.zeros((4, N + 1, 3), np.float32) if cnt_loc is None else cnt_loc.astype(np.float32),
+            restrict=1.0 if self.restrict_cnt else 0.0,
+            base_ref=base_ref.astype(np.float32),
+            base_ref_e=base_ref_e.astype(np.float32),
+            joint_ref=self.joint_ref.astype(np.float32),
+            step_height=self.config_gait.step_height + self._ground,
+            ground_height=self._ground,
+        )
+
+        if self._X_prev is None:
+            X_prev, U_prev = self.solver.cold_start(params)
+            shift = 0
+        else:
+            X_prev, U_prev = self._X_prev, self._U_prev
+            shift = node - self.last_node
+        n_iter = self.config_opt.max_iter_first if self.first_solve else self.config_opt.max_iter
+
+        out = self._plan_jit(X_prev, U_prev, jnp.asarray(shift), params, n_iter)
+        X, U, q_plan, v_plan, a_plan, f_plan, tau_ff, stats = jax.block_until_ready(out)
+        self._X_prev, self._U_prev = X, U
+        self.last_node = node
+        if not np.isfinite(np.asarray(stats.cost)):
+            raise RuntimeError(f"solver diverged: {stats}")
+        return (
+            np.asarray(q_plan, np.float64),
+            np.asarray(v_plan, np.float64),
+            np.asarray(a_plan, np.float64),
+            np.asarray(f_plan, np.float64),
+            np.asarray(tau_ff, np.float64),
+        )
+
+    # ------------------------------------------------------------------
+    def _replan(self) -> bool:
+        replan = self.sim_step % self.replanning_steps == 0
+        if self.solve_async:
+            replan &= not self.plan_submitted
+        return replan
+
+    def _step(self) -> None:
+        self.increment_base_ref_position()
+        self.sim_step += 1
+        self.plan_step += 1
+        if self.plan_step >= self.n_interp_plan:
+            self.plan_step = self.n_interp_plan - 1
+
+    def compute_torques_dof(self, mj_data) -> None:
+        """1 kHz control: feed-forward from the interpolated plan + joint PD
+        (mpc.py:475-599)."""
+        t, q_mj, v_mj = mj_data.time, mj_data.qpos, mj_data.qvel
+        t = round(t - self.t0, 4)
+        q, v = tnp.convert_from_mujoco(np.asarray(q_mj), np.asarray(v_mj))
+
+        if not self.first_solve:
+            if t >= (self.current_opt_node + 1) * self.dt_nodes:
+                self.current_opt_node += 1
+
+        if self._replan() and not self.diverged:
+            self.start_time = t
+            self.optimize_future = self.executor.submit(self.optimize, q, v)
+            self.plan_submitted = True
+            if self.print_info:
+                print(f"## Replan | node {self.current_opt_node} t {t} step {self.sim_step}")
+            while not self.solve_async and not self.optimize_future.done():
+                time.sleep(1.0e-4)
+
+        if (
+            self.plan_submitted
+            and self.solve_async
+            and self.async_sim_latency is not None
+            and not self.first_solve  # first pickup is immediate (delay = 0)
+        ):
+            # model solver latency in sim time (see __init__ docstring): the
+            # plan is picked up exactly `async_sim_latency` sim-seconds after
+            # submission — block if the worker is slower than the sim clock.
+            if (t - self.start_time) >= self.async_sim_latency - 1e-9:
+                try:
+                    self.optimize_future.result()
+                except Exception:
+                    pass  # re-raised (and handled) in the pickup block below
+                plan_ready = True
+            else:
+                plan_ready = False
+        elif self.plan_submitted and self.first_solve:
+            # block for the very first plan (covers jit compile; the robot
+            # holds its pose under the stiff startup PD meanwhile)
+            try:
+                self.optimize_future.result()
+            except Exception:
+                pass
+            plan_ready = True
+        else:
+            plan_ready = self.plan_submitted and self.optimize_future.done()
+
+        if plan_ready:
+            try:
+                q_plan, v_plan, a_plan, f_plan, tau_ff = self.optimize_future.result()
+                self.q_plan, self.v_plan, self.a_plan = q_plan, v_plan, a_plan
+                self.f_plan, self.tau_ff_plan = f_plan, tau_ff
+                if self.solve_async and not self.first_solve:
+                    replanning_time = t - self.start_time
+                    self.delay = max(math.ceil(replanning_time / self.sim_dt) - 1, 0)
+                else:
+                    self.delay = 0
+                self.plan_step = self.delay
+                self.plan_submitted = False
+                self.first_solve = False
+            except Exception:
+                print("Optimization error:\n", traceback.format_exc())
+                self.optimize_future = Future()
+                self.diverged = True
+                self.plan_submitted = False
+
+        if self.first_solve:
+            torques_ff = np.zeros(self.nu)
+            self.t0 = mj_data.time
+            if np.all(self.q_plan[0] == 0.0):
+                self.q_plan[:] = q[None]
+            Kp, Kd = 44.0, 5.0
+        else:
+            torques_ff = self.tau_ff_plan[self.plan_step]
+            Kp, Kd = self.Kp, self.Kd
+            self.q_full.append(q.copy())
+            self.v_full.append(v.copy())
+            self._step()
+
+        torques_pd = (
+            torques_ff
+            + Kp * (self.q_plan[self.plan_step, -self.nu:] - q[-self.nu:])
+            + Kd * (self.v_plan[self.plan_step, -self.nu:] - v[-self.nu:])
+        )
+        self.tau_full.append(torques_pd.copy())
+        self.torques_dof[-self.nu:] = torques_pd
+
+    # ------------------------------------------------------------------
+    def open_loop(self, q_mj: np.ndarray, v_mj: np.ndarray, trajectory_time: float):
+        """MPC-in-a-loop without a simulator: integrate the plan forward
+        (mpc.py:416-462)."""
+        q_traj = []
+        sim_time = 0.0
+        q, v = tnp.convert_from_mujoco(np.asarray(q_mj), np.asarray(v_mj))
+        while sim_time <= trajectory_time:
+            if sim_time >= (self.current_opt_node + 1) * self.dt_nodes:
+                self.current_opt_node += 1
+            if self.sim_step % self.replanning_steps == 0:
+                q_plan, v_plan, *_ = self.optimize(q, v)
+                self.q_plan, self.v_plan = q_plan, v_plan
+                self.plan_step = 0
+                self.first_solve = False
+            q = self.q_plan[self.plan_step]
+            v = self.v_plan[self.plan_step]
+            q_mj_k, _ = tnp.convert_to_mujoco(q, v)
+            q_traj.append(q_mj_k)
+            self._step()
+            sim_time += self.sim_dt
+        return np.array(q_traj)
+
+    def print_timings(self):
+        print()
+        print_timings(self.timings)
+
+    def __del__(self):
+        try:
+            self.executor.shutdown(wait=False, cancel_futures=True)
+        except Exception:
+            pass
+        if getattr(self, "velocity_goal", None) is not None:
+            self.velocity_goal.stop()

@@ -1,0 +1,249 @@
+"""Whole-body contact-implicit OCP: declarative stage residuals.
+
+Re-designs the reference's acados problem (`mpc_controller/utils/solver.py`,
+`dynamics.py:109-134`, constraint surface at `solver.py:212-252`) as a
+Gauss-Newton residual stack:
+
+- state   x = [q(18), v(18)]          (Euler chart, v = dq/dt)
+- input   u = [a(18), f(4x3)]         (chart acceleration + foot forces)
+- shooting dynamics are EXACTLY linear in this chart (double integrator),
+  so the SQP subproblem has constant A/B blocks; all nonlinearity lives in
+  the residuals.
+
+The acados/HPIPM hard constraints become weighted residuals (quadratic /
+hinge penalties), and contact switching is *masking, not branching*: every
+residual is multiplied by its activity mask so shapes stay static and the
+whole stack vmaps over nodes, problems, and devices.
+
+Residual groups (weights from MPCCostConfig / MPCOptConfig):
+  base, joint, acc, swing-peak, force-reg, foot-displacement   (costs)
+  centroidal-dynamics consistency (6)                          (equality pen.)
+  active-contact foot velocity + height pinning (4x3)          (equality pen.)
+  friction-cone hinge, swing-clearance hinge, torque hinge     (ineq. pen.)
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models import dynamics as dyn
+from ..mpc.config import MPCCostConfig, MPCOptConfig
+from ..robots.spec import RobotSpec
+
+NX = 36
+NU = 30
+N_FOOT = 4
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class OCPParams:
+    """Per-solve parameters (a pytree; batch by stacking leaves).
+
+    Mirrors the reference's per-node parameter surface
+    (`solver.py:212-275`): contact activity, plane points, peaks, contact
+    location targets + restriction flag, references.
+    """
+
+    x0: jax.Array            # (NX,)
+    cnt: jax.Array           # (4, N+1)  contact activity (0/1 float)
+    peak: jax.Array          # (4, N+1)  swing-peak mask
+    plane_point: jax.Array   # (4, N+1, 3) contact plane point (z = ground)
+    cnt_loc: jax.Array       # (4, N+1, 3) target contact xy (restricted mode)
+    restrict: jax.Array      # ()  0/1: enable foot-displacement pinning
+    base_ref: jax.Array      # (12,) running base reference
+    base_ref_e: jax.Array    # (12,) terminal base reference
+    joint_ref: jax.Array     # (12,)
+    step_height: jax.Array   # ()
+    dt: jax.Array            # (N,) node durations
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Weights:
+    """sqrt-weight vectors folded into the residuals."""
+
+    base: jax.Array          # (12,)
+    base_e: jax.Array        # (12,)
+    joint: jax.Array         # (24,)
+    joint_e: jax.Array       # (24,)
+    acc: jax.Array           # (12,)
+    swing: jax.Array         # (4,)
+    f_reg: jax.Array         # (4, 3)
+    foot_disp: jax.Array     # ()
+    stab_gain: jax.Array     # (4,) contact-pin stabilization gain
+    dyn_cons: jax.Array      # ()
+    contact_vel: jax.Array   # ()
+    cone: jax.Array          # ()
+    swing_clear: jax.Array   # ()
+    torque: jax.Array        # ()
+    mu: jax.Array            # () friction coefficient
+    total_weight: jax.Array  # () m_total * g, for the force-reg reference
+
+
+def make_weights(
+    opt: MPCOptConfig, cost: MPCCostConfig, spec: RobotSpec = None, dtype=jnp.float32
+) -> Weights:
+    sq = lambda w: jnp.sqrt(jnp.asarray(w, dtype=dtype))
+    total_w = 0.0 if spec is None else 9.81 * float(spec.mass.sum())
+    return Weights(
+        total_weight=jnp.asarray(total_w, dtype=dtype),
+        base=sq(cost.W_base),
+        base_e=sq(cost.W_e_base),
+        joint=sq(cost.W_joint),
+        joint_e=sq(cost.W_e_joint),
+        acc=sq(cost.W_acc),
+        swing=sq(cost.W_swing),
+        f_reg=sq(cost.W_cnt_f_reg),
+        foot_disp=sq(cost.W_foot_displacement[0]),
+        stab_gain=jnp.asarray(cost.W_foot_pos_constr_stab, dtype=dtype),
+        dyn_cons=sq(opt.w_dyn),
+        contact_vel=sq(opt.w_contact),
+        cone=sq(opt.w_cone),
+        swing_clear=sq(opt.w_swing_height),
+        torque=sq(opt.w_torque),
+        mu=jnp.asarray(opt.mu, dtype=dtype),
+    )
+
+
+def split_state(x):
+    return x[:18], x[18:36]
+
+
+def split_input(u):
+    return u[:18], u[18:30].reshape(N_FOOT, 3)
+
+
+def dynamics_step(x: jax.Array, u: jax.Array, dt) -> jax.Array:
+    """Exact double-integrator step in the chart."""
+    q, v = split_state(x)
+    a, _ = split_input(u)
+    v2 = v + dt * a
+    q2 = q + dt * v + 0.5 * dt * dt * a
+    return jnp.concatenate([q2, v2])
+
+
+def dynamics_matrices(dt, dtype=jnp.float32) -> Tuple[jax.Array, jax.Array]:
+    """Constant (A, B) of the linear shooting dynamics."""
+    eye18 = jnp.eye(18, dtype=dtype)
+    A = jnp.block([[jnp.eye(18, dtype=dtype), dt * eye18],
+                   [jnp.zeros((18, 18), dtype=dtype), eye18]])
+    Ba = jnp.concatenate([0.5 * dt * dt * eye18, dt * eye18], axis=0)
+    B = jnp.concatenate([Ba, jnp.zeros((36, 12), dtype=dtype)], axis=1)
+    return A, B
+
+
+def _base_joint_residuals(x, base_ref, joint_ref, w_base, w_joint):
+    q, v = split_state(x)
+    rb = jnp.concatenate([q[:6] - base_ref[:6], v[:6] - base_ref[6:]]) * w_base
+    rj = jnp.concatenate([q[6:] - joint_ref, v[6:]]) * w_joint
+    return rb, rj
+
+
+def stage_residual(
+    spec: RobotSpec,
+    w: Weights,
+    x: jax.Array,
+    u: jax.Array,
+    cnt_k: jax.Array,        # (4,)
+    peak_k: jax.Array,       # (4,)
+    plane_k: jax.Array,      # (4, 3)
+    cnt_loc_k: jax.Array,    # (4, 3)
+    restrict: jax.Array,     # ()
+    base_ref: jax.Array,
+    joint_ref: jax.Array,
+    step_height: jax.Array,
+) -> jax.Array:
+    """All running residuals for one node, concatenated (static length)."""
+    q, v = split_state(x)
+    a, f = split_input(u)
+    f_eff = cnt_k[:, None] * f  # forces exist only at active contacts
+
+    # --- tracking costs (reference dynamics.py:121-134) ---
+    rb, rj = _base_joint_residuals(x, base_ref, joint_ref, w.base, w.joint)
+    ra = a[6:] * w.acc
+    # force regularization toward the per-node gravity share (not zero —
+    # regularizing to zero makes carrying the body "expensive" and the
+    # horizon tail sags; acados hides this behind hard dynamics constraints)
+    n_active = jnp.maximum(jnp.sum(cnt_k), 1.0)
+    f_ref = jnp.zeros_like(f_eff).at[:, 2].set(cnt_k * w.total_weight / n_active)
+    rf = ((f_eff - f_ref) * w.f_reg).reshape(-1)
+    # pin swing-phase force decision variables at zero (they are masked out of
+    # the dynamics anyway; this keeps the GN input-Hessian well conditioned)
+    rf_zero = ((1.0 - cnt_k[:, None]) * f).reshape(-1)
+
+    p_feet = dyn.foot_positions(spec, q)
+    v_feet = dyn.foot_velocities(spec, q, v)
+
+    # swing-peak height cost: peak * (z - step_height)  (dynamics.py:132-134)
+    r_swing = peak_k * (p_feet[:, 2] - step_height) * w.swing
+
+    # foot displacement from the planned contact point (restricted mode,
+    # solver.py:254-275 + W_foot_displacement)
+    r_disp = (
+        restrict * cnt_k[:, None] * (p_feet[:, :2] - cnt_loc_k[:, :2])
+    ).reshape(-1) * w.foot_disp
+
+    # --- centroidal dynamics consistency (the acados dynamics constraint) ---
+    hdot = dyn.centroidal_momentum_rate(spec, q, v, a)
+    wrench = dyn.contact_wrench_about_com(spec, q, f_eff)
+    r_dyn = (hdot - wrench) * w.dyn_cons
+
+    # --- contact pinning: active feet don't move; height pinned to the plane
+    #     with Baumgarte gain (PointContact + p_gain, solver.py:219) ---
+    pin_xy = v_feet[:, :2]
+    pin_z = v_feet[:, 2] + w.stab_gain * (p_feet[:, 2] - plane_k[:, 2])
+    r_cnt = (cnt_k[:, None] * jnp.concatenate([pin_xy, pin_z[:, None]], axis=1)
+             ).reshape(-1) * w.contact_vel
+
+    # --- friction cone (pyramid) hinge: |f_xy| <= mu f_z, f_z >= 0 ---
+    fx, fy, fz = f_eff[:, 0], f_eff[:, 1], f_eff[:, 2]
+    cone = jnp.stack(
+        [
+            jnp.maximum(-fz, 0.0),
+            jnp.maximum(fx - w.mu * fz, 0.0),
+            jnp.maximum(-fx - w.mu * fz, 0.0),
+            jnp.maximum(fy - w.mu * fz, 0.0),
+            jnp.maximum(-fy - w.mu * fz, 0.0),
+        ],
+        axis=1,
+    ).reshape(-1) * w.cone
+
+    # --- swing feet stay above the ground plane ---
+    r_clear = (1.0 - cnt_k) * jnp.maximum(plane_k[:, 2] - p_feet[:, 2], 0.0) * w.swing_clear
+
+    # --- torque limits via inverse dynamics (config_abstract.py:67-69) ---
+    tau = dyn.id_torques(spec, q, v, a, f_eff)
+    r_tau = jnp.maximum(jnp.abs(tau) - spec.torque_limit, 0.0) * w.torque
+
+    return jnp.concatenate(
+        [rb, rj, ra, rf, rf_zero, r_swing, r_disp, r_dyn, r_cnt, cone, r_clear, r_tau]
+    )
+
+
+def terminal_residual(
+    spec: RobotSpec,
+    w: Weights,
+    x: jax.Array,
+    peak_k: jax.Array,
+    base_ref_e: jax.Array,
+    joint_ref: jax.Array,
+    step_height: jax.Array,
+) -> jax.Array:
+    q, v = split_state(x)
+    rb, rj = _base_joint_residuals(x, base_ref_e, joint_ref, w.base_e, w.joint_e)
+    p_feet = dyn.foot_positions(spec, q)
+    r_swing = peak_k * (p_feet[:, 2] - step_height) * w.swing
+    return jnp.concatenate([rb, rj, r_swing])
+
+
+def stage_residual_from_params(spec, w, x, u, p: OCPParams, k: int):
+    """Convenience indexer used by vmapped linearization."""
+    return stage_residual(
+        spec, w, x, u,
+        p.cnt[:, k], p.peak[:, k], p.plane_point[:, k], p.cnt_loc[:, k],
+        p.restrict, p.base_ref, p.joint_ref, p.step_height,
+    )

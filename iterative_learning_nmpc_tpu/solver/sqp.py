@@ -1,0 +1,342 @@
+"""GN-SQP / RTI trajectory optimizer — the TPU replacement for acados+HPIPM.
+
+One SQP iteration (all inside a single jit, batched via vmap / shard_map):
+
+  1. vmapped linearization of the stage residual stack over the horizon
+     (jacfwd — one jvp graph per node, no symbolic codegen),
+  2. Riccati backward sweep over the horizon (lax.scan of 36/30-dim blocks;
+     dynamics A/B are CONSTANT because the shooting dynamics are exactly
+     linear in the Euler chart — see ocp/problem.py),
+  3. affine forward rollout,
+  4. PARALLEL line search: all step sizes evaluated simultaneously via vmap,
+     best-merit candidate selected (replaces HPIPM's sequential inner loop).
+
+Because the equality dynamics are linear, a full step (alpha=1) is exactly
+multiple-shooting feasible: defects scale as (1-alpha) analytically, which
+the merit function exploits.
+
+Reference counterparts: SQP outer loop + warm-start shift
+(`mpc_controller/utils/solver.py:290-342,396-429`), first-solve boost
+(`mpc.py:464-473`), RTI steady state (`mpc_opt.py:25-27`).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models import dynamics as dyn
+from ..mpc.config import MPCCostConfig, MPCOptConfig
+from ..ocp.problem import (
+    NU,
+    NX,
+    OCPParams,
+    Weights,
+    dynamics_matrices,
+    dynamics_step,
+    make_weights,
+    split_state,
+    stage_residual,
+    terminal_residual,
+)
+from ..robots.spec import RobotSpec
+
+
+class SolveStats(NamedTuple):
+    cost: jax.Array          # final GN cost (0.5 ||r||^2 summed)
+    defect: jax.Array        # max |defect| after the last accepted step
+    step_norm: jax.Array     # |delta| of last SQP step
+    alpha: jax.Array         # last accepted step size
+
+
+class Solution(NamedTuple):
+    X: jax.Array             # (N+1, 36)
+    U: jax.Array             # (N, 30)
+    stats: SolveStats
+
+    @property
+    def q(self):
+        return self.X[:, :18]
+
+    @property
+    def v(self):
+        return self.X[:, 18:]
+
+    @property
+    def a(self):
+        return self.U[:, :18]
+
+    @property
+    def f(self):
+        return self.U[:, 18:].reshape(self.U.shape[0], 4, 3)
+
+
+def _stage_residual_z(spec, w, z, cnt, peak, plane, cnt_loc, restrict, base_ref, joint_ref, step_h):
+    x, u = z[:NX], z[NX:]
+    return stage_residual(spec, w, x, u, cnt, peak, plane, cnt_loc, restrict, base_ref, joint_ref, step_h)
+
+
+def _linearize_stages(spec, w, X, U, p: OCPParams):
+    """Vectorized residuals + Jacobians for nodes 0..N-1."""
+    N = U.shape[0]
+    Z = jnp.concatenate([X[:-1], U], axis=1)  # (N, NX+NU)
+
+    def res_one(z, cnt, peak, plane, cnt_loc):
+        return _stage_residual_z(
+            spec, w, z, cnt, peak, plane, cnt_loc,
+            p.restrict, p.base_ref, p.joint_ref, p.step_height,
+        )
+
+    def res_and_jac(z, cnt, peak, plane, cnt_loc):
+        r = res_one(z, cnt, peak, plane, cnt_loc)
+        J = jax.jacfwd(res_one)(z, cnt, peak, plane, cnt_loc)
+        return r, J
+
+    cnt_n = p.cnt[:, :N].T        # (N, 4)
+    peak_n = p.peak[:, :N].T
+    plane_n = p.plane_point[:, :N].transpose(1, 0, 2)   # (N, 4, 3)
+    loc_n = p.cnt_loc[:, :N].transpose(1, 0, 2)
+    r, J = jax.vmap(res_and_jac)(Z, cnt_n, peak_n, plane_n, loc_n)
+    return r, J[:, :, :NX], J[:, :, NX:]
+
+
+def _linearize_terminal(spec, w, xN, p: OCPParams):
+    def res(x):
+        return terminal_residual(spec, w, x, p.peak[:, -1], p.base_ref_e, p.joint_ref, p.step_height)
+
+    r = res(xN)
+    J = jax.jacfwd(res)(xN)
+    return r, J
+
+
+def _riccati_solve(A, B, Q, R, M, qx_vec, ru_vec, P_N, p_N, defects, lm_reg):
+    """Backward sweep + gain computation. Returns (K, kff) per node.
+
+    A, B constant (NX,NX)/(NX,NU); Q (N,NX,NX); R (N,NU,NU); M (N,NX,NU);
+    qx_vec (N,NX); ru_vec (N,NU); defects (N,NX) with
+    x_{k+1} = A x_k + B u_k + d_k in delta coordinates.
+    """
+    eyeu = jnp.eye(B.shape[1], dtype=B.dtype)
+
+    def step(carry, inp):
+        P, pvec = carry
+        Qk, Rk, Mk, qk, rk, dk = inp
+        PA = P @ A
+        PB = P @ B
+        Qxx = Qk + A.T @ PA
+        Quu = Rk + B.T @ PB + lm_reg * eyeu
+        Qux = Mk.T + B.T @ PA
+        Pd = P @ dk + pvec
+        qx = qk + A.T @ Pd
+        qu = rk + B.T @ Pd
+        L = jnp.linalg.cholesky(Quu)
+        K = -jax.scipy.linalg.cho_solve((L, True), Qux)
+        kff = -jax.scipy.linalg.cho_solve((L, True), qu)
+        P_new = Qxx + Qux.T @ K
+        P_new = 0.5 * (P_new + P_new.T)
+        p_new = qx + Qux.T @ kff
+        return (P_new, p_new), (K, kff)
+
+    (_, _), (K, kff) = jax.lax.scan(
+        step, (P_N, p_N), (Q, R, M, qx_vec, ru_vec, defects), reverse=True
+    )
+    return K, kff
+
+
+def _forward_delta(A, B, K, kff, defects, dx0, alpha):
+    """Affine rollout of the LQR policy with step scaling alpha."""
+
+    def step(dx, inp):
+        Kk, kk, dk = inp
+        du = alpha * kk + Kk @ dx
+        dx_next = A @ dx + B @ du + alpha * dk
+        return dx_next, (dx, du)
+
+    dxN, (dX, dU) = jax.lax.scan(step, alpha * dx0, (K, kff, defects))
+    dX = jnp.concatenate([dX, dxN[None]], axis=0)
+    return dX, dU
+
+
+class TrajOptSolver:
+    """Stateless functional solver bound to (robot, configs).
+
+    `solve` is pure and jit/vmap/shard_map-friendly: all contact parameters
+    come in through OCPParams.
+    """
+
+    def __init__(
+        self,
+        spec: RobotSpec,
+        opt: MPCOptConfig,
+        cost: MPCCostConfig,
+        dtype=jnp.float32,
+    ):
+        self.spec = spec
+        self.opt = opt
+        self.cost = cost
+        self.dtype = dtype
+        self.N = opt.n_nodes
+        self.dt_nodes = opt.get_dt_nodes()
+        self.weights = make_weights(opt, cost, spec, dtype=dtype)
+        self.A, self.B = dynamics_matrices(jnp.asarray(self.dt_nodes, dtype), dtype)
+        self.ls_alphas = jnp.asarray(opt.ls_alphas, dtype)
+
+    # ---------------- cost/merit ----------------
+    def _total_cost(self, X, U, p: OCPParams):
+        r, _, _ = None, None, None
+        N = U.shape[0]
+        Z = jnp.concatenate([X[:-1], U], axis=1)
+
+        def res_one(z, cnt, peak, plane, cnt_loc):
+            return _stage_residual_z(
+                self.spec, self.weights, z, cnt, peak, plane, cnt_loc,
+                p.restrict, p.base_ref, p.joint_ref, p.step_height,
+            )
+
+        cnt_n = p.cnt[:, :N].T
+        peak_n = p.peak[:, :N].T
+        plane_n = p.plane_point[:, :N].transpose(1, 0, 2)
+        loc_n = p.cnt_loc[:, :N].transpose(1, 0, 2)
+        rs = jax.vmap(res_one)(Z, cnt_n, peak_n, plane_n, loc_n)
+        r_term = terminal_residual(
+            self.spec, self.weights, X[-1], p.peak[:, -1], p.base_ref_e,
+            p.joint_ref, p.step_height,
+        )
+        return 0.5 * jnp.sum(rs * rs) + 0.5 * jnp.sum(r_term * r_term)
+
+    def _defects(self, X, U, p: OCPParams):
+        X_next = jax.vmap(dynamics_step, in_axes=(0, 0, 0))(X[:-1], U, p.dt)
+        return X_next - X[1:]
+
+    # ---------------- one SQP iteration ----------------
+    def _sqp_iter(self, X, U, p: OCPParams, merit_rho):
+        w = self.weights
+        r, Jx, Ju = _linearize_stages(self.spec, w, X, U, p)
+        rT, JT = _linearize_terminal(self.spec, w, X[-1], p)
+
+        Q = jnp.einsum("nri,nrj->nij", Jx, Jx)
+        R = jnp.einsum("nri,nrj->nij", Ju, Ju)
+        M = jnp.einsum("nri,nrj->nij", Jx, Ju)
+        qx_vec = jnp.einsum("nri,nr->ni", Jx, r)
+        ru_vec = jnp.einsum("nri,nr->ni", Ju, r)
+        P_N = JT.T @ JT + self.cost.reg_eps_e * jnp.eye(NX, dtype=X.dtype)
+        p_N = JT.T @ rT
+
+        defects = self._defects(X, U, p)
+        dx0 = p.x0 - X[0]
+
+        K, kff = _riccati_solve(
+            self.A, self.B, Q, R, M, qx_vec, ru_vec, P_N, p_N, defects,
+            jnp.asarray(self.opt.lm_reg, X.dtype),
+        )
+
+        def candidate(alpha):
+            dX, dU = _forward_delta(self.A, self.B, K, kff, defects, dx0, alpha)
+            Xc, Uc = X + dX, U + dU
+            cost_c = self._total_cost(Xc, Uc, p)
+            # linear dynamics => post-step defects shrink exactly by (1-alpha)
+            merit = cost_c + merit_rho * (1.0 - alpha) * jnp.sum(jnp.abs(defects))
+            return Xc, Uc, dU, merit
+
+        Xs, Us, dUs, merits = jax.vmap(candidate)(self.ls_alphas)
+        best = jnp.argmin(merits)
+        X_new = Xs[best]
+        U_new = Us[best]
+        step_norm = jnp.max(jnp.abs(dUs[best]))
+        return X_new, U_new, merits[best], step_norm, self.ls_alphas[best]
+
+    # ---------------- public API ----------------
+    def solve(
+        self,
+        X: jax.Array,
+        U: jax.Array,
+        params: OCPParams,
+        n_iter: int,
+        merit_rho: float = 1.0e2,
+    ) -> Solution:
+        """Run n_iter (static) SQP iterations from warm start (X, U)."""
+
+        def body(_, carry):
+            X, U, _, _, _ = carry
+            X, U, cost, step_norm, alpha = self._sqp_iter(X, U, params, merit_rho)
+            return (X, U, cost, step_norm, alpha)
+
+        zero = jnp.asarray(0.0, X.dtype)
+        X, U, cost, step_norm, alpha = jax.lax.fori_loop(
+            0, n_iter, body, (X, U, zero, zero, zero)
+        )
+        defect = jnp.max(jnp.abs(self._defects(X, U, params)))
+        return Solution(X, U, SolveStats(cost, defect, step_norm, alpha))
+
+    # ---------------- warm starts ----------------
+    def cold_start(self, params: OCPParams) -> Tuple[jax.Array, jax.Array]:
+        """Stationary initial guess: hold x0, gravity-balancing forces."""
+        X = jnp.tile(params.x0[None], (self.N + 1, 1))
+        a0 = jnp.zeros(18, dtype=self.dtype)
+        m_tot = self.spec.mass.sum()
+        n_active = jnp.maximum(params.cnt[:, :-1].sum(0), 1.0)  # (N,)
+        fz = dyn.GRAVITY * m_tot / n_active
+        f = jnp.zeros((self.N, 4, 3), dtype=self.dtype)
+        f = f.at[:, :, 2].set(params.cnt[:, :-1].T * fz[:, None])
+        U = jnp.concatenate([jnp.tile(a0[None], (self.N, 1)), f.reshape(self.N, 12)], axis=1)
+        return X, U
+
+    def shift_warmstart(self, X, U, shift):
+        """Shift the previous solution by `shift` nodes, repeating the tail
+        (reference warm_start_solver, solver.py:290-342). `shift` may be traced."""
+        idx_x = jnp.clip(jnp.arange(self.N + 1) + shift, 0, self.N)
+        idx_u = jnp.clip(jnp.arange(self.N) + shift, 0, self.N - 1)
+        return X[idx_x], U[idx_u]
+
+
+def make_params(
+    solver: TrajOptSolver,
+    x0,
+    cnt,
+    peak=None,
+    plane_point=None,
+    cnt_loc=None,
+    restrict=0.0,
+    base_ref=None,
+    base_ref_e=None,
+    joint_ref=None,
+    step_height=0.05,
+    dt=None,
+    ground_height=0.0,
+) -> OCPParams:
+    """Ergonomic OCPParams builder with sensible defaults."""
+    N = solver.N
+    dtype = solver.dtype
+    x0 = jnp.asarray(x0, dtype)
+    cnt = jnp.asarray(cnt, dtype)
+    if peak is None:
+        peak = 1.0 - cnt
+    if plane_point is None:
+        plane_point = jnp.zeros((4, N + 1, 3), dtype)
+        plane_point = plane_point.at[:, :, 2].set(ground_height)
+    if cnt_loc is None:
+        cnt_loc = jnp.zeros((4, N + 1, 3), dtype)
+    if base_ref is None:
+        base_ref = jnp.zeros(12, dtype)
+    if base_ref_e is None:
+        base_ref_e = base_ref
+    if joint_ref is None:
+        joint_ref = solver.spec.q_home[6:]
+    if dt is None:
+        dt = jnp.full((N,), solver.dt_nodes, dtype)
+    return OCPParams(
+        x0=x0,
+        cnt=cnt,
+        peak=jnp.asarray(peak, dtype),
+        plane_point=jnp.asarray(plane_point, dtype),
+        cnt_loc=jnp.asarray(cnt_loc, dtype),
+        restrict=jnp.asarray(restrict, dtype),
+        base_ref=jnp.asarray(base_ref, dtype),
+        base_ref_e=jnp.asarray(base_ref_e, dtype),
+        joint_ref=jnp.asarray(joint_ref, dtype),
+        step_height=jnp.asarray(step_height, dtype),
+        dt=jnp.asarray(dt, dtype),
+    )

@@ -1,0 +1,40 @@
+"""End-to-end closed-loop MPC test: Go2 trot in MuJoCo (the minimum
+end-to-end slice from SURVEY.md §7.4)."""
+import numpy as np
+import pytest
+
+from iterative_learning_nmpc_tpu.mpc.controller import LocomotionMPC
+from iterative_learning_nmpc_tpu.sim.mujoco_sim import ForceWindow, Simulator
+
+
+@pytest.mark.slow
+def test_go2_trot_velocity_tracking(go2):
+    sim = Simulator(go2)
+    mpc = LocomotionMPC(go2, gait_name="trot", solve_async=False, compute_timings=True)
+    v_des = 0.3
+    mpc.set_command(np.array([v_des, 0.0, 0.0]))
+    res = sim.run(sim_time=2.0, controller=mpc)
+
+    assert not res.fell, f"robot fell: {res}"
+    assert not res.diverged
+    z = sim.data.qpos[2]
+    assert 0.22 < z < 0.38, f"base height off nominal: {z}"
+    # realized forward speed within 0.1 m/s of command (the reference's
+    # SafeDAgger velocity-tracking tolerance, Rollout_combined_controller.py:430)
+    x_progress = sim.data.qpos[0]
+    # allow the first ~0.3 s for the gait transient
+    assert abs(x_progress / res.sim_time - v_des) < 0.12, x_progress
+    # attitude sane
+    quat = sim.data.qpos[3:7]
+    assert abs(quat[0]) > 0.97  # < ~14 deg total tilt
+
+
+@pytest.mark.slow
+def test_go2_trot_survives_push(go2):
+    sim = Simulator(go2)
+    mpc = LocomotionMPC(go2, gait_name="trot", solve_async=False)
+    mpc.set_command(np.array([0.0, 0.0, 0.0]))
+    push = [ForceWindow(start=0.7, end=0.9, force=np.array([40.0, 20.0, 0.0]))]
+    res = sim.run(sim_time=1.6, controller=mpc, force_schedule=push)
+    assert not res.fell, f"robot fell after push: {res}"
+    assert 0.2 < sim.data.qpos[2] < 0.4

@@ -1,0 +1,109 @@
+"""GN-SQP solver unit/behavior tests (the oracle role HPIPM can't play for
+itself — see SURVEY.md §4: golden-value + property tests per layer)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from iterative_learning_nmpc_tpu.models import dynamics as dyn
+from iterative_learning_nmpc_tpu.gait.planner import ContactPlanner
+from iterative_learning_nmpc_tpu.mpc.config import get_quadruped_config
+from iterative_learning_nmpc_tpu.solver.sqp import TrajOptSolver, make_params
+
+
+@pytest.fixture(scope="module")
+def trot_setup(go2):
+    gait, opt, cost = get_quadruped_config("trot", "go2")
+    solver = TrajOptSolver(go2, opt, cost)
+    q0 = jnp.asarray(go2.q_home)
+    p0 = dyn.foot_positions(go2, q0)
+    q0 = q0.at[2].add(-p0[0, 2])
+    x0 = jnp.concatenate([q0, jnp.zeros(18)])
+    solve = jax.jit(lambda X, U, p, n: solver.solve(X, U, p, n), static_argnums=3)
+    return gait, opt, cost, solver, q0, x0, solve
+
+
+def test_standing_balance(go2, trot_setup):
+    gait, opt, cost, solver, q0, x0, solve = trot_setup
+    N = solver.N
+    cnt = jnp.ones((4, N + 1), jnp.float32)
+    base_ref = jnp.zeros(12).at[:3].set(q0[:3]).at[2].set(gait.nom_height)
+    params = make_params(solver, x0, cnt, base_ref=base_ref, step_height=gait.step_height)
+    X, U = solver.cold_start(params)
+    sol = solve(X, U, params, 15)
+
+    # multiple-shooting feasibility: linear dynamics -> defects ~ 0
+    assert float(sol.stats.defect) < 1e-4
+    # gravity share per foot
+    mg4 = 9.81 * float(np.asarray(go2.mass).sum()) / 4
+    np.testing.assert_allclose(np.asarray(sol.f[0, :, 2]), mg4, rtol=0.15)
+    # no sag across the horizon
+    assert np.all(np.asarray(sol.q[:, 2]) > 0.24)
+    # friction cone respected
+    f = np.asarray(sol.f)
+    assert np.all(f[:, :, 2] > -1e-3)
+    assert np.all(np.abs(f[:, :, 0]) <= opt.mu * f[:, :, 2] + 1.0)
+
+
+def test_trot_solution_shape(go2, trot_setup):
+    gait, opt, cost, solver, q0, x0, solve = trot_setup
+    N = solver.N
+    planner = ContactPlanner(go2.feet_frame_names, solver.dt_nodes, gait)
+    cnt = jnp.asarray(planner.get_contacts(0, N + 1), jnp.float32)
+    base_ref = jnp.zeros(12).at[:3].set(q0[:3]).at[2].set(gait.nom_height).at[6].set(0.3)
+    params = make_params(
+        solver, x0, cnt, base_ref=base_ref,
+        base_ref_e=base_ref.at[0].add(0.3), step_height=gait.step_height,
+    )
+    X, U = solver.cold_start(params)
+    sol = solve(X, U, params, 15)
+
+    assert float(sol.stats.defect) < 1e-4
+    assert np.isfinite(float(sol.stats.cost))
+    q = np.asarray(sol.q)
+    # base advances in x and stays at a sane height
+    assert q[-1, 0] > 0.1
+    assert np.all(q[:, 2] > 0.2) and np.all(q[:, 2] < 0.4)
+    # swing feet clear the ground and approach step height
+    feet_z = np.asarray(jax.vmap(lambda qq: dyn.foot_positions(go2, qq))(sol.q))[:, :, 2]
+    cnt_np = np.asarray(cnt).T  # (N+1, 4)
+    swing_apex = (feet_z * (1 - cnt_np)).max()
+    assert 0.03 < swing_apex < 0.09
+    # swing forces are exactly masked to zero in the effective dynamics
+    f = np.asarray(sol.f)
+    swing_mask = (1 - cnt_np[:-1])[:, :, None]
+    assert np.abs(f * swing_mask).max() < 2.0  # pinned near zero by rf_zero
+
+
+def test_warmstart_shift_rti(go2, trot_setup):
+    """One RTI iteration from a shifted converged plan stays feasible and
+    close to a fresh 15-iteration solve (the reference's steady-state regime,
+    mpc_opt.py:25)."""
+    gait, opt, cost, solver, q0, x0, solve = trot_setup
+    N = solver.N
+    planner = ContactPlanner(go2.feet_frame_names, solver.dt_nodes, gait)
+
+    def params_at(node, x0_):
+        cnt = jnp.asarray(planner.get_contacts(node, N + 1), jnp.float32)
+        base_ref = jnp.zeros(12).at[:3].set(q0[:3]).at[2].set(gait.nom_height).at[6].set(0.3)
+        return make_params(solver, x0_, cnt, base_ref=base_ref, step_height=gait.step_height)
+
+    p0 = params_at(0, x0)
+    X, U = solver.cold_start(p0)
+    sol0 = solve(X, U, p0, 15)
+
+    # advance one node: warm start = shift by 1
+    x1 = sol0.X[1]
+    p1 = params_at(1, x1)
+    Xw, Uw = solver.shift_warmstart(sol0.X, sol0.U, 1)
+    sol_rti = solve(Xw, Uw, p1, 1)
+    sol_full = solve(Xw, Uw, p1, 15)
+
+    assert float(sol_rti.stats.defect) < 1e-4
+    # one RTI iteration improves on the raw warm start and lands within 2x of
+    # the fully converged cost (the tail node sees a brand-new contact state,
+    # which a single GN step cannot fully absorb)
+    cost_ws = float(solver._total_cost(Xw.at[0].set(p1.x0), Uw, p1))
+    assert float(sol_rti.stats.cost) < cost_ws
+    assert float(sol_rti.stats.cost) < 2.0 * float(sol_full.stats.cost) + 1.0
