@@ -1,0 +1,97 @@
+"""Benchmark: NMPC solves/s on the real TPU chip.
+
+Prints ONE JSON line:
+  {"metric": "nmpc_solves_per_s", "value": N, "unit": "solves/s",
+   "vs_baseline": N / 25.0, ...extras}
+
+Baseline: the reference's implied real-time budget is 25 solves/s
+(40 ms per async solve at 25 Hz replanning — BASELINE.md). The north-star
+target is >= 1000 full-horizon solves/s per chip (BASELINE.json).
+
+Regime measured: steady-state RTI (1 SQP iteration, warm-started), batch of
+perturbed Go2 trot instances at the reference's OCP size (N=25 nodes, 1 s
+horizon) — the configuration the controller runs in closed loop.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _flagship
+
+    batch = int(os.environ.get("BENCH_BATCH", "256"))
+    reps = int(os.environ.get("BENCH_REPS", "20"))
+
+    solver, X, U, params = _flagship()
+    # converge once, then measure steady-state RTI from the shifted solution
+    warm = jax.jit(lambda X, U, p: solver.solve(X, U, p, 15))
+    sol = warm(X, U, params)
+    jax.block_until_ready(sol.X)
+
+    key = jax.random.PRNGKey(0)
+    noise = 0.01 * jax.random.normal(key, (batch, X.shape[-1]))
+    pb = jax.tree.map(lambda x: jnp.tile(x[None], (batch,) + (1,) * x.ndim), params)
+    pb = pb.__class__(**{**{f: getattr(pb, f) for f in pb.__dataclass_fields__},
+                         "x0": pb.x0 + noise})
+    Xb = jnp.tile(sol.X[None], (batch, 1, 1)).at[:, 0].set(pb.x0)
+    Ub = jnp.tile(sol.U[None], (batch, 1, 1))
+
+    @jax.jit
+    def rti_batch(X, U, p):
+        s = jax.vmap(lambda x, u, pp: solver.solve(x, u, pp, 1))(X, U, p)
+        return s.X, s.U, s.stats.cost
+
+    t0 = time.perf_counter()
+    out = rti_batch(Xb, Ub, pb)
+    jax.block_until_ready(out)
+    compile_s = time.perf_counter() - t0
+
+    # timed steady-state loop
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        Xb2, Ub2, cost = rti_batch(Xb, Ub, pb)
+    jax.block_until_ready((Xb2, Ub2))
+    dt = time.perf_counter() - t0
+    solves_per_s = batch * reps / dt
+
+    # single-solve latency (batch=1) — the per-step real-time budget check
+    @jax.jit
+    def rti_one(X, U, p):
+        s = solver.solve(X, U, p, 1)
+        return s.X, s.U
+
+    x1 = jax.tree.map(lambda x: x[0], pb)
+    o = rti_one(Xb[0], Ub[0], x1)
+    jax.block_until_ready(o)
+    t0 = time.perf_counter()
+    for _ in range(10):
+        o = rti_one(Xb[0], Ub[0], x1)
+    jax.block_until_ready(o)
+    lat_ms = (time.perf_counter() - t0) / 10 * 1e3
+
+    result = {
+        "metric": "nmpc_solves_per_s",
+        "value": round(solves_per_s, 1),
+        "unit": "solves/s",
+        "vs_baseline": round(solves_per_s / 25.0, 2),
+        "batch": batch,
+        "single_solve_latency_ms": round(lat_ms, 2),
+        "compile_s": round(compile_s, 1),
+        "backend": jax.default_backend(),
+        "device": str(jax.devices()[0]),
+        "mean_cost": round(float(np.mean(np.asarray(cost))), 2),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

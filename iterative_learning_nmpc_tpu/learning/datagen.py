@@ -1,0 +1,208 @@
+"""Behavior-cloning data-collection pipelines.
+
+Re-implements `Behavior_Cloning/utils/data_collection_force_perturbation.py`:
+1. one nominal (unperturbed) expert rollout,
+2. replanning points every `replan_steps` within one gait period (`:201-211`),
+3. per replanning point x n_perturbations: restart the sim at the recorded
+   state and apply a random base push (50-70 N, 0.2-0.4 s), retrying until
+   the rollout survives (`:313-324`),
+4. merge all surviving npz rollouts into a Database -> HDF5 + config pickle
+   (`:90-112, 253-277`).
+
+Also the omni-directional pretrain collection
+(`DAgger/example/data_collection_pretrain_omini_vc_policy_*`): sampled
+velocity goals, nominal + perturbed rollouts per goal, OOD side split.
+"""
+from __future__ import annotations
+
+import glob
+import os
+import pickle
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from ..robots.spec import RobotSpec
+from .database import Database
+from .rollouts import RolloutResult, rollout_mpc, sample_force_perturbation
+
+
+@dataclass
+class DataCollectionConfig:
+    record_dir: str = "./data"
+    sim_time_nominal: float = 2.0
+    sim_time_perturbed: float = 1.5
+    v_des: Sequence[float] = (0.3, 0.0, 0.0)
+    gait_name: str = "trot"
+    replan_freq_steps: int = 50          # grid spacing over one gait period
+    num_perturbations_per_replanning: int = 10
+    max_retries: int = 5
+    force_magnitude: Sequence[float] = (50.0, 70.0)
+    force_duration: Sequence[float] = (0.2, 0.4)
+    database_size: int = 10_000_000
+    seed: int = 0
+
+
+def merge_npz_to_database(paths: Sequence[str], db: Database) -> Database:
+    """npz rollouts -> Database rows (reference `:253-277`)."""
+    for traj_id, path in enumerate(paths):
+        data = np.load(path)
+        n = len(data["state"])
+        db.append(
+            data["state"],
+            data["action"],
+            vc_goals=data["vc_goals"],
+            cc_goals=data["cc_goals"],
+            traj_id=np.full(n, traj_id),
+            times=data["time"],
+        )
+    return db
+
+
+class DataCollection:
+    """Force-perturbation BC dataset generator."""
+
+    def __init__(self, spec: RobotSpec, cfg: DataCollectionConfig):
+        self.spec = spec
+        self.cfg = cfg
+        self.rng = np.random.default_rng(cfg.seed)
+
+    # ------------------------------------------------------------------
+    def run_unperturbed(self) -> RolloutResult:
+        return rollout_mpc(
+            self.spec,
+            sim_time=self.cfg.sim_time_nominal,
+            v_des=np.asarray(self.cfg.v_des),
+            gait_name=self.cfg.gait_name,
+            record_dir=self.cfg.record_dir,
+            nominal_flag=True,
+        )
+
+    def get_replanning_points(self, nominal_path: str) -> List[int]:
+        """Step indices of replanning points within one gait period
+        (reference `:201-211`)."""
+        data = np.load(nominal_path)
+        n = len(data["time"])
+        from ..mpc.config import GAITS
+
+        period_steps = int(GAITS[self.cfg.gait_name].nominal_period / 1.0e-3)
+        pts = list(range(0, min(period_steps, n), self.cfg.replan_freq_steps))
+        return pts
+
+    def get_reference_state(self, nominal_path: str, step: int):
+        data = np.load(nominal_path)
+        q = data["q"][step]
+        v = data["v"][step]
+        t = data["time"][step]
+        return q, v, t
+
+    # ------------------------------------------------------------------
+    def run(self) -> str:
+        cfg = self.cfg
+        os.makedirs(cfg.record_dir, exist_ok=True)
+
+        nominal = self.run_unperturbed()
+        if nominal.early_termination:
+            raise RuntimeError("nominal rollout fell — check MPC configuration")
+        paths = [nominal.record_path]
+
+        replan_points = self.get_replanning_points(nominal.record_path)
+        for rp in replan_points:
+            q0, v0, t0 = self.get_reference_state(nominal.record_path, rp)
+            for j in range(cfg.num_perturbations_per_replanning):
+                for _ in range(cfg.max_retries):
+                    fw = sample_force_perturbation(
+                        self.rng, t_min=0.0, t_max=0.3,
+                        magnitude=tuple(cfg.force_magnitude),
+                        duration=tuple(cfg.force_duration),
+                    )
+                    out = rollout_mpc(
+                        self.spec,
+                        sim_time=cfg.sim_time_perturbed,
+                        v_des=np.asarray(cfg.v_des),
+                        gait_name=cfg.gait_name,
+                        record_dir=cfg.record_dir,
+                        start_state=(q0, v0),
+                        start_time=float(t0),
+                        force_schedule=[fw],
+                        nominal_flag=False,
+                        replanning_point=rp,
+                        nth_traj=j,
+                    )
+                    if not out.early_termination:
+                        paths.append(out.record_path)
+                        break
+
+        return self.save_training_dataset(paths)
+
+    def save_training_dataset(self, paths: Sequence[str]) -> str:
+        db = Database(limit=self.cfg.database_size, goal_type="vc")
+        merge_npz_to_database(paths, db)
+        existing = glob.glob(os.path.join(self.cfg.record_dir, "database_*.hdf5"))
+        out = os.path.join(self.cfg.record_dir, f"database_{len(existing)}.hdf5")
+        db.save_as_hdf5(out, config=self.cfg)
+        return out
+
+
+@dataclass
+class PretrainConfig(DataCollectionConfig):
+    """Omni-directional goal sampling (reference goal box `:168-174`)."""
+
+    n_goals: int = 10
+    vx_range: Sequence[float] = (0.0, 0.3)
+    vy_range: Sequence[float] = (-0.1, 0.1)
+    ood_threshold: float = 4.0
+
+
+class PretrainDataCollection(DataCollection):
+    """Multi-goal dataset generation with an OOD side split."""
+
+    def __init__(self, spec: RobotSpec, cfg: PretrainConfig):
+        super().__init__(spec, cfg)
+        self.cfg: PretrainConfig = cfg
+
+    def sample_goal(self):
+        return np.array([
+            self.rng.uniform(*self.cfg.vx_range),
+            self.rng.uniform(*self.cfg.vy_range),
+            0.0,
+        ])
+
+    def run(self) -> str:
+        cfg = self.cfg
+        os.makedirs(cfg.record_dir, exist_ok=True)
+        all_paths = []
+        for g in range(cfg.n_goals):
+            goal = self.sample_goal()
+            sub = DataCollectionConfig(**{
+                **{k: getattr(cfg, k) for k in DataCollectionConfig.__dataclass_fields__},
+            })
+            sub.v_des = tuple(goal)
+            sub.record_dir = os.path.join(cfg.record_dir, f"goal_{g}")
+            dc = DataCollection(self.spec, sub)
+            try:
+                nominal = dc.run_unperturbed()
+            except Exception:
+                continue
+            if nominal.early_termination:
+                continue
+            all_paths.append(nominal.record_path)
+            pts = dc.get_replanning_points(nominal.record_path)
+            for rp in pts[:: max(len(pts) // 2, 1)]:
+                q0, v0, t0 = dc.get_reference_state(nominal.record_path, rp)
+                for j in range(cfg.num_perturbations_per_replanning):
+                    fw = sample_force_perturbation(
+                        self.rng, 0.0, 0.3, tuple(cfg.force_magnitude),
+                        tuple(cfg.force_duration),
+                    )
+                    out = rollout_mpc(
+                        self.spec, sim_time=cfg.sim_time_perturbed,
+                        v_des=goal, gait_name=cfg.gait_name,
+                        record_dir=sub.record_dir, start_state=(q0, v0),
+                        start_time=float(t0), force_schedule=[fw],
+                        nominal_flag=False, replanning_point=rp, nth_traj=j,
+                    )
+                    if not out.early_termination:
+                        all_paths.append(out.record_path)
+        return self.save_training_dataset(all_paths)

@@ -307,36 +307,44 @@ def make_params(
     dt=None,
     ground_height=0.0,
 ) -> OCPParams:
-    """Ergonomic OCPParams builder with sensible defaults."""
+    """Ergonomic OCPParams builder with sensible defaults.
+
+    Host-side assembly in NUMPY on purpose: on the tunneled axon TPU every
+    eager jnp op is a device round-trip; numpy leaves cross into jit as one
+    transfer each.
+    """
+    import numpy as np
+
     N = solver.N
-    dtype = solver.dtype
-    x0 = jnp.asarray(x0, dtype)
-    cnt = jnp.asarray(cnt, dtype)
+    np_dtype = np.dtype(jnp.dtype(solver.dtype).name)
+    asnp = lambda x: np.asarray(x, dtype=np_dtype)
+    x0 = asnp(x0)
+    cnt = asnp(cnt)
     if peak is None:
         peak = 1.0 - cnt
     if plane_point is None:
-        plane_point = jnp.zeros((4, N + 1, 3), dtype)
-        plane_point = plane_point.at[:, :, 2].set(ground_height)
+        plane_point = np.zeros((4, N + 1, 3), np_dtype)
+        plane_point[:, :, 2] = ground_height
     if cnt_loc is None:
-        cnt_loc = jnp.zeros((4, N + 1, 3), dtype)
+        cnt_loc = np.zeros((4, N + 1, 3), np_dtype)
     if base_ref is None:
-        base_ref = jnp.zeros(12, dtype)
+        base_ref = np.zeros(12, np_dtype)
     if base_ref_e is None:
         base_ref_e = base_ref
     if joint_ref is None:
-        joint_ref = solver.spec.q_home[6:]
+        joint_ref = np.asarray(solver.spec.q_home)[6:]
     if dt is None:
-        dt = jnp.full((N,), solver.dt_nodes, dtype)
+        dt = np.full((N,), solver.dt_nodes, np_dtype)
     return OCPParams(
         x0=x0,
         cnt=cnt,
-        peak=jnp.asarray(peak, dtype),
-        plane_point=jnp.asarray(plane_point, dtype),
-        cnt_loc=jnp.asarray(cnt_loc, dtype),
-        restrict=jnp.asarray(restrict, dtype),
-        base_ref=jnp.asarray(base_ref, dtype),
-        base_ref_e=jnp.asarray(base_ref_e, dtype),
-        joint_ref=jnp.asarray(joint_ref, dtype),
-        step_height=jnp.asarray(step_height, dtype),
-        dt=jnp.asarray(dt, dtype),
+        peak=asnp(peak),
+        plane_point=asnp(plane_point),
+        cnt_loc=asnp(cnt_loc),
+        restrict=asnp(restrict),
+        base_ref=asnp(base_ref),
+        base_ref_e=asnp(base_ref_e),
+        joint_ref=asnp(joint_ref),
+        step_height=asnp(step_height),
+        dt=asnp(dt),
     )

@@ -1,0 +1,60 @@
+"""Analysis/diagnostics module tests."""
+import numpy as np
+
+from iterative_learning_nmpc_tpu.learning import analysis as an
+
+
+def test_pca(rng):
+    # data concentrated along a known direction
+    d = rng.normal(size=(500, 1)) @ np.array([[3.0, 1.0, 0.0, 0.0]])
+    d += 0.01 * rng.normal(size=(500, 4))
+    proj, comps, ratio = an.pca(d, 2)
+    assert proj.shape == (500, 2)
+    assert ratio[0] > 0.95
+    direction = comps[0] / np.linalg.norm(comps[0])
+    expected = np.array([3.0, 1.0, 0.0, 0.0]) / np.sqrt(10)
+    assert abs(abs(direction @ expected) - 1.0) < 1e-3
+
+
+def test_velocity_goal_error():
+    v = np.zeros((10, 3))
+    v[:, 0] = 0.25
+    g = np.zeros((10, 3))
+    g[:, 0] = 0.3
+    err, mean_err = an.velocity_goal_error(v, g)
+    assert abs(mean_err[0] - 0.05) < 1e-12
+
+
+def test_butterworth_smoothing(rng):
+    t = np.arange(0, 4, 1e-3)
+    clean = np.sin(2 * np.pi * 1 * t)  # 1 Hz
+    noisy = clean + 0.3 * np.sin(2 * np.pi * 100 * t)  # 100 Hz noise
+    smoothed = an.butterworth_lowpass(noisy, cutoff_hz=5.0)
+    # away from filtfilt edge transients the noise is gone
+    assert np.abs(smoothed - clean)[500:-500].max() < 0.05
+
+
+def test_distance_and_bounds(rng):
+    nom = np.zeros((100, 4))
+    nom_t = np.arange(100) * 0.01
+    s = np.ones((5, 4)) * 2.0
+    d = an.perturbed_vs_nominal_distance(s, np.arange(5) * 0.01, nom, nom_t)
+    np.testing.assert_allclose(d, 4.0)
+    lo, hi = an.action_bounds(np.array([[1.0, -2.0], [3.0, 0.0]]))
+    np.testing.assert_allclose(lo, [1.0, -2.0])
+    np.testing.assert_allclose(hi, [3.0, 0.0])
+
+
+def test_figures_build(tmp_path, rng):
+    states = [rng.normal(size=(100, 6)), rng.normal(1.0, 1.0, size=(80, 6))]
+    f1 = an.plot_pca_analysis(states, save_path=str(tmp_path / "pca.png"))
+    f2 = an.plot_dataset_distribution(states, dims=range(4),
+                                      save_path=str(tmp_path / "dist.png"))
+    times = np.arange(50) * 1e-3
+    f3 = an.plot_policy_tracking(times, rng.normal(size=(50, 3)) * 0.1,
+                                 np.zeros((50, 3)),
+                                 save_path=str(tmp_path / "track.png"))
+    f4 = an.plot_feet_position(times, rng.normal(size=(50, 12)),
+                               save_path=str(tmp_path / "feet.png"))
+    for name in ("pca.png", "dist.png", "track.png", "feet.png"):
+        assert (tmp_path / name).exists()
