@@ -59,14 +59,22 @@ class MPCOptConfig:
     opt_peak: bool = True
     warm_start_sol: bool = True
     torque_limit: bool = True
+    # Keep the torque-limit hinge rows in the QP linearization (exact SQP) or
+    # only in the merit function (inexact/RTI). Since the dynamics residual
+    # shares the RNEA pass, keeping them costs nothing extra.
+    torque_limit_in_qp: bool = True
     mu: float = 0.7
     nlp_tol: float = 1.0e-1
     qp_tol: float = 1.0e-2
     # --- TPU solver knobs (replace hpipm_mode/use_cython/recompile) ---
     # Levenberg-Marquardt regularization added to the input-Hessian blocks
     lm_reg: float = 1.0e-6
-    # Parallel line-search candidates (evaluated simultaneously via vmap)
+    # Parallel line-search candidates (evaluated simultaneously via vmap).
+    # Full set for cold/first solves; warm-started RTI solves use the steady
+    # set (acados' SQP_RTI takes full steps with no line search at all —
+    # we keep one fallback candidate as a safeguard).
     ls_alphas: Tuple[float, ...] = (1.0, 0.5, 0.25, 0.1)
+    ls_alphas_steady: Tuple[float, ...] = (1.0, 0.25)
     # Penalty weights for the constraint residuals (quadratic / AL)
     w_dyn: float = 1.0e3        # centroidal dynamics consistency (6,)
     w_contact: float = 1.0e3    # active-contact foot velocity pinning (4,3)

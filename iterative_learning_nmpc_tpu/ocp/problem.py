@@ -87,10 +87,15 @@ class Weights:
 def make_weights(
     opt: MPCOptConfig, cost: MPCCostConfig, spec: RobotSpec = None, dtype=jnp.float32
 ) -> Weights:
-    sq = lambda w: jnp.sqrt(jnp.asarray(w, dtype=dtype))
-    total_w = 0.0 if spec is None else 9.81 * float(spec.mass.sum())
+    # host-side numpy on purpose: eager jnp ops each cost a compile+round-trip
+    # on the tunneled TPU (numpy leaves transfer lazily at the jit boundary)
+    import numpy as np
+
+    npd = np.dtype(jnp.dtype(dtype).name)
+    sq = lambda w: np.sqrt(np.asarray(w, dtype=npd))
+    total_w = 0.0 if spec is None else 9.81 * float(np.asarray(spec.mass).sum())
     return Weights(
-        total_weight=jnp.asarray(total_w, dtype=dtype),
+        total_weight=np.asarray(total_w, dtype=npd),
         base=sq(cost.W_base),
         base_e=sq(cost.W_e_base),
         joint=sq(cost.W_joint),
@@ -99,13 +104,13 @@ def make_weights(
         swing=sq(cost.W_swing),
         f_reg=sq(cost.W_cnt_f_reg),
         foot_disp=sq(cost.W_foot_displacement[0]),
-        stab_gain=jnp.asarray(cost.W_foot_pos_constr_stab, dtype=dtype),
+        stab_gain=np.asarray(cost.W_foot_pos_constr_stab, dtype=npd),
         dyn_cons=sq(opt.w_dyn),
         contact_vel=sq(opt.w_contact),
         cone=sq(opt.w_cone),
         swing_clear=sq(opt.w_swing_height),
         torque=sq(opt.w_torque),
-        mu=jnp.asarray(opt.mu, dtype=dtype),
+        mu=np.asarray(opt.mu, dtype=npd),
     )
 
 
@@ -126,13 +131,17 @@ def dynamics_step(x: jax.Array, u: jax.Array, dt) -> jax.Array:
     return jnp.concatenate([q2, v2])
 
 
-def dynamics_matrices(dt, dtype=jnp.float32) -> Tuple[jax.Array, jax.Array]:
-    """Constant (A, B) of the linear shooting dynamics."""
-    eye18 = jnp.eye(18, dtype=dtype)
-    A = jnp.block([[jnp.eye(18, dtype=dtype), dt * eye18],
-                   [jnp.zeros((18, 18), dtype=dtype), eye18]])
-    Ba = jnp.concatenate([0.5 * dt * dt * eye18, dt * eye18], axis=0)
-    B = jnp.concatenate([Ba, jnp.zeros((36, 12), dtype=dtype)], axis=1)
+def dynamics_matrices(dt, dtype=jnp.float32):
+    """Constant (A, B) of the linear shooting dynamics (host numpy — see
+    make_weights note on eager ops)."""
+    import numpy as np
+
+    npd = np.dtype(jnp.dtype(dtype).name)
+    dt = float(dt)
+    eye18 = np.eye(18, dtype=npd)
+    A = np.block([[eye18, dt * eye18], [np.zeros((18, 18), npd), eye18]])
+    Ba = np.concatenate([0.5 * dt * dt * eye18, dt * eye18], axis=0)
+    B = np.concatenate([Ba, np.zeros((36, 12), npd)], axis=1)
     return A, B
 
 
@@ -156,8 +165,17 @@ def stage_residual(
     base_ref: jax.Array,
     joint_ref: jax.Array,
     step_height: jax.Array,
+    include_torque: bool = True,
 ) -> jax.Array:
-    """All running residuals for one node, concatenated (static length)."""
+    """All running residuals for one node, concatenated (static length).
+
+    include_torque=False drops the torque-limit hinge rows — used for the QP
+    linearization (RTI-style inexact SQP): the hinge is almost always
+    inactive, in which case its Gauss-Newton contribution is exactly zero,
+    but differentiating it costs a full RNEA tangent sweep per node. The
+    merit function (full residual) still penalizes violations, so the line
+    search rejects steps that would activate the limits.
+    """
     q, v = split_state(x)
     a, f = split_input(u)
     f_eff = cnt_k[:, None] * f  # forces exist only at active contacts
@@ -187,10 +205,14 @@ def stage_residual(
         restrict * cnt_k[:, None] * (p_feet[:, :2] - cnt_loc_k[:, :2])
     ).reshape(-1) * w.foot_disp
 
-    # --- centroidal dynamics consistency (the acados dynamics constraint) ---
-    hdot = dyn.centroidal_momentum_rate(spec, q, v, a)
-    wrench = dyn.contact_wrench_about_com(spec, q, f_eff)
-    r_dyn = (hdot - wrench) * w.dyn_cons
+    # --- whole-body dynamics consistency on the unactuated base rows ---
+    # rnea(q,v,a,f)[0:6] == 0 is exactly the centroidal-momentum balance
+    # hdot(q,v,a) == contact wrench (same 6 Newton-Euler equations in the
+    # chart basis); ONE shared RNEA pass also yields the joint torques for
+    # the torque-limit rows — this replaces the reference's separate
+    # h-dynamics constraint + CasADi torque expressions.
+    tau_full = dyn.rnea(spec, q, v, a, f_ext_feet=f_eff)
+    r_dyn = tau_full[:6] * w.dyn_cons
 
     # --- contact pinning: active feet don't move; height pinned to the plane
     #     with Baumgarte gain (PointContact + p_gain, solver.py:219) ---
@@ -215,13 +237,15 @@ def stage_residual(
     # --- swing feet stay above the ground plane ---
     r_clear = (1.0 - cnt_k) * jnp.maximum(plane_k[:, 2] - p_feet[:, 2], 0.0) * w.swing_clear
 
-    # --- torque limits via inverse dynamics (config_abstract.py:67-69) ---
-    tau = dyn.id_torques(spec, q, v, a, f_eff)
-    r_tau = jnp.maximum(jnp.abs(tau) - spec.torque_limit, 0.0) * w.torque
+    parts = [rb, rj, ra, rf, rf_zero, r_swing, r_disp, r_dyn, r_cnt, cone, r_clear]
 
-    return jnp.concatenate(
-        [rb, rj, ra, rf, rf_zero, r_swing, r_disp, r_dyn, r_cnt, cone, r_clear, r_tau]
-    )
+    if include_torque:
+        # --- torque limits, from the same RNEA pass (config_abstract.py:67-69) ---
+        parts.append(
+            jnp.maximum(jnp.abs(tau_full[6:]) - spec.torque_limit, 0.0) * w.torque
+        )
+
+    return jnp.concatenate(parts)
 
 
 def terminal_residual(

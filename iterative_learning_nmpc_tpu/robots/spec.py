@@ -173,6 +173,9 @@ def build_quadruped_spec(
         if FEET_ORDER[i_leg] in ("FR", "RR"):
             q_home[6 + 3 * i_leg] *= -1.0
 
+    # numpy leaves on purpose: they embed as constants at trace time and
+    # avoid eager device round-trips on the tunneled TPU.
+    npd = np.dtype(jnp.dtype(dtype).name)
     return RobotSpec(
         name=name,
         nv=nvt,
@@ -181,14 +184,14 @@ def build_quadruped_spec(
         jtype=tuple(jtype),
         foot_body=tuple(foot_body),
         feet_frame_names=tuple(f"{leg}_foot" for leg in FEET_ORDER),
-        joint_axis=jnp.asarray(axis, dtype=dtype),
-        joint_pos=jnp.asarray(pos, dtype=dtype),
-        mass=jnp.asarray(mass, dtype=dtype),
-        com=jnp.asarray(com, dtype=dtype),
-        inertia=jnp.asarray(np.stack(inertia), dtype=dtype),
-        foot_offset=jnp.asarray([[0.0, 0.0, -calf_len]] * 4, dtype=dtype),
-        foot_radius=jnp.asarray(foot_radius, dtype=dtype),
-        torque_limit=jnp.asarray(list(torque_limit) * 4, dtype=dtype),
-        q_home=jnp.asarray(q_home, dtype=dtype),
-        joint_limits=jnp.asarray(list(joint_limits) * 4, dtype=dtype),
+        joint_axis=np.asarray(axis, dtype=npd),
+        joint_pos=np.asarray(pos, dtype=npd),
+        mass=np.asarray(mass, dtype=npd),
+        com=np.asarray(com, dtype=npd),
+        inertia=np.asarray(np.stack(inertia), dtype=npd),
+        foot_offset=np.asarray([[0.0, 0.0, -calf_len]] * 4, dtype=npd),
+        foot_radius=np.asarray(foot_radius, dtype=npd),
+        torque_limit=np.asarray(list(torque_limit) * 4, dtype=npd),
+        q_home=np.asarray(q_home, dtype=npd),
+        joint_limits=np.asarray(list(joint_limits) * 4, dtype=npd),
     )

@@ -74,13 +74,19 @@ class Solution(NamedTuple):
         return self.U[:, 18:].reshape(self.U.shape[0], 4, 3)
 
 
-def _stage_residual_z(spec, w, z, cnt, peak, plane, cnt_loc, restrict, base_ref, joint_ref, step_h):
+def _stage_residual_z(spec, w, z, cnt, peak, plane, cnt_loc, restrict, base_ref,
+                      joint_ref, step_h, include_torque=True):
     x, u = z[:NX], z[NX:]
-    return stage_residual(spec, w, x, u, cnt, peak, plane, cnt_loc, restrict, base_ref, joint_ref, step_h)
+    return stage_residual(spec, w, x, u, cnt, peak, plane, cnt_loc, restrict,
+                          base_ref, joint_ref, step_h, include_torque=include_torque)
 
 
-def _linearize_stages(spec, w, X, U, p: OCPParams):
-    """Vectorized residuals + Jacobians for nodes 0..N-1."""
+def _linearize_stages(spec, w, X, U, p: OCPParams, include_torque: bool = False):
+    """Vectorized residuals + Jacobians for nodes 0..N-1.
+
+    By default the torque-limit hinge is excluded here (inexact-SQP QP) and
+    enforced through the merit function only — see stage_residual docs.
+    """
     N = U.shape[0]
     Z = jnp.concatenate([X[:-1], U], axis=1)  # (N, NX+NU)
 
@@ -88,6 +94,7 @@ def _linearize_stages(spec, w, X, U, p: OCPParams):
         return _stage_residual_z(
             spec, w, z, cnt, peak, plane, cnt_loc,
             p.restrict, p.base_ref, p.joint_ref, p.step_height,
+            include_torque=include_torque,
         )
 
     def res_and_jac(z, cnt, peak, plane, cnt_loc):
@@ -181,8 +188,10 @@ class TrajOptSolver:
         self.N = opt.n_nodes
         self.dt_nodes = opt.get_dt_nodes()
         self.weights = make_weights(opt, cost, spec, dtype=dtype)
-        self.A, self.B = dynamics_matrices(jnp.asarray(self.dt_nodes, dtype), dtype)
-        self.ls_alphas = jnp.asarray(opt.ls_alphas, dtype)
+        self.A, self.B = dynamics_matrices(self.dt_nodes, dtype)
+        import numpy as _np
+
+        self.ls_alphas = _np.asarray(opt.ls_alphas, _np.dtype(jnp.dtype(dtype).name))
 
     # ---------------- cost/merit ----------------
     def _total_cost(self, X, U, p: OCPParams):
@@ -212,9 +221,11 @@ class TrajOptSolver:
         return X_next - X[1:]
 
     # ---------------- one SQP iteration ----------------
-    def _sqp_iter(self, X, U, p: OCPParams, merit_rho):
+    def _sqp_iter(self, X, U, p: OCPParams, merit_rho, alphas=None):
         w = self.weights
-        r, Jx, Ju = _linearize_stages(self.spec, w, X, U, p)
+        r, Jx, Ju = _linearize_stages(
+            self.spec, w, X, U, p, include_torque=self.opt.torque_limit_in_qp
+        )
         rT, JT = _linearize_terminal(self.spec, w, X[-1], p)
 
         Q = jnp.einsum("nri,nrj->nij", Jx, Jx)
@@ -241,12 +252,13 @@ class TrajOptSolver:
             merit = cost_c + merit_rho * (1.0 - alpha) * jnp.sum(jnp.abs(defects))
             return Xc, Uc, dU, merit
 
-        Xs, Us, dUs, merits = jax.vmap(candidate)(self.ls_alphas)
+        alphas = jnp.asarray(self.ls_alphas if alphas is None else alphas)
+        Xs, Us, dUs, merits = jax.vmap(candidate)(alphas)
         best = jnp.argmin(merits)
         X_new = Xs[best]
         U_new = Us[best]
         step_norm = jnp.max(jnp.abs(dUs[best]))
-        return X_new, U_new, merits[best], step_norm, self.ls_alphas[best]
+        return X_new, U_new, merits[best], step_norm, alphas[best]
 
     # ---------------- public API ----------------
     def solve(
@@ -257,11 +269,20 @@ class TrajOptSolver:
         n_iter: int,
         merit_rho: float = 1.0e2,
     ) -> Solution:
-        """Run n_iter (static) SQP iterations from warm start (X, U)."""
+        """Run n_iter (static) SQP iterations from warm start (X, U).
+
+        Warm-started RTI solves (n_iter == 1) use the reduced steady-state
+        line-search set; multi-iteration (cold/first) solves use the full set.
+        """
+        alphas = (
+            self.opt.ls_alphas_steady if n_iter <= 1 else self.opt.ls_alphas
+        )
 
         def body(_, carry):
             X, U, _, _, _ = carry
-            X, U, cost, step_norm, alpha = self._sqp_iter(X, U, params, merit_rho)
+            X, U, cost, step_norm, alpha = self._sqp_iter(
+                X, U, params, merit_rho, alphas=alphas
+            )
             return (X, U, cost, step_norm, alpha)
 
         zero = jnp.asarray(0.0, X.dtype)

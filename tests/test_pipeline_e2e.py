@@ -1,0 +1,48 @@
+"""End-to-end iterative-learning pipeline smoke (miniature BC + SafeDAgger)."""
+import os
+
+import numpy as np
+import pytest
+
+from iterative_learning_nmpc_tpu.learning.database import Database
+from iterative_learning_nmpc_tpu.learning.datagen import merge_npz_to_database
+from iterative_learning_nmpc_tpu.learning.rollouts import (
+    rollout_combined,
+    rollout_mpc,
+    rollout_policy,
+)
+from iterative_learning_nmpc_tpu.learning.train import BehavioralCloning, TrainConfig
+
+
+@pytest.mark.slow
+def test_bc_dagger_pipeline(go2, tmp_path):
+    tmp = str(tmp_path)
+    # 1. expert rollout, recorded
+    out = rollout_mpc(go2, sim_time=2.0, v_des=np.array([0.3, 0.0, 0.0]),
+                      record_dir=tmp)
+    assert not out.early_termination
+    data = np.load(out.record_path)
+    assert data["state"].shape[1] == 44
+    assert data["action"].shape[1] == 12
+
+    # 2. dataset + training
+    db = Database(limit=100000, goal_type="vc")
+    merge_npz_to_database([out.record_path], db)
+    assert len(db) == 2000
+    cfg = TrainConfig(n_epochs=40, batch_size=256, learning_rate=2e-3,
+                      save_dir=os.path.join(tmp, "pol"), run_name="smoke")
+    bc = BehavioralCloning(cfg)
+    path = bc.run(db)
+    assert bc.metrics[-1]["train_loss"] < 0.3 * bc.metrics[0]["train_loss"]
+
+    # 3. the BC policy must at least survive a short horizon near the data
+    pr = rollout_policy(go2, path, sim_time=0.5, v_des=np.array([0.3, 0.0, 0.0]))
+    assert pr.sim.sim_time > 0.3
+
+    # 4. combined controller: expert fallback engages when the policy drifts
+    cr = rollout_combined(go2, path, sim_time=1.0, v_des=np.array([0.3, 0.0, 0.0]),
+                          record_dir=os.path.join(tmp, "dagger"),
+                          mpc_min_steps=300)
+    is_exp = np.asarray(cr.recorder.data["is_expert"])
+    assert len(is_exp) > 500
+    assert is_exp.any()  # safety monitor fired and labeled expert steps
