@@ -143,6 +143,9 @@ def rollout_mpc(
 
     mpc = LocomotionMPC(spec, gait_name=gait_name, solve_async=solve_async)
     mpc.set_command(np.asarray(v_des, dtype=np.float64))
+    if start_state is not None and start_time > 0.0:
+        # continue the gait phase from the nominal timeline
+        mpc.set_phase(start_time)
 
     recorder = None
     if record:
@@ -170,6 +173,49 @@ def rollout_mpc(
         path = recorder.save()
     return RolloutResult(sim=res, record_path=path, early_termination=early,
                          recorder=recorder)
+
+
+def rollout_mpc_phase_shift(
+    spec: RobotSpec,
+    nominal_path: str,
+    step: int,
+    rng: np.random.Generator,
+    sim_time: float = 1.5,
+    v_des: np.ndarray = np.zeros(3),
+    gait_name: str = "trot",
+    record_dir: str = "",
+    nth_traj: int = 0,
+    scale_q: float = 0.05,
+    scale_v: float = 0.2,
+) -> RolloutResult:
+    """Nullspace-perturbed mid-trajectory restart at a recorded replanning
+    point, keeping the gait phase aligned with the nominal timeline
+    (reference `RolloutMPC_shift_phase_percentage.py:288,460-546`)."""
+    from ..models import transforms_np as tnp
+
+    data = np.load(nominal_path)
+    q_mj = data["q"][step]
+    v_mj = data["v"][step]
+    t0 = float(data["time"][step])
+    contact = data["contact_vec"][step]
+
+    q, v = tnp.convert_from_mujoco(q_mj, v_mj)
+    q_p, v_p = nullspace_perturbation(
+        spec, q, v, contact, rng, scale_q=scale_q, scale_v=scale_v
+    )
+    q_mj_p, v_mj_p = tnp.convert_to_mujoco(q_p, v_p)
+    return rollout_mpc(
+        spec,
+        sim_time=sim_time,
+        v_des=v_des,
+        gait_name=gait_name,
+        record_dir=record_dir,
+        start_state=(q_mj_p, v_mj_p),
+        start_time=t0,
+        nominal_flag=False,
+        replanning_point=step,
+        nth_traj=nth_traj,
+    )
 
 
 def rollout_policy(

@@ -151,6 +151,7 @@ class LocomotionMPC:
         self.current_opt_node = 0
         self.last_node = 0
         self.delay = 0
+        self._phase_time_offset = 0.0
 
         self.v_des = np.zeros(3)
         self.w_des = np.zeros(3)
@@ -184,6 +185,14 @@ class LocomotionMPC:
     def set_command(self, v_des: np.ndarray = np.zeros(3), w_yaw: float = 0.0) -> None:
         self.v_des = np.asarray(v_des, dtype=np.float64)
         self.w_des[2] = w_yaw
+
+    def set_phase(self, start_time: float) -> None:
+        """Align the gait phase with an absolute trajectory time — used by
+        mid-trajectory restarts so the contact schedule continues from the
+        nominal timeline (reference phase-percentage shift,
+        `RolloutMPC_shift_phase_percentage.py`)."""
+        self.current_opt_node = int(round(start_time / self.dt_nodes))
+        self._phase_time_offset = self.current_opt_node * self.dt_nodes
 
     def increment_base_ref_position(self):
         """Integrate the velocity goal into the tracked base reference
@@ -350,7 +359,7 @@ class LocomotionMPC:
         q, v = tnp.convert_from_mujoco(np.asarray(q_mj), np.asarray(v_mj))
 
         if not self.first_solve:
-            if t >= (self.current_opt_node + 1) * self.dt_nodes:
+            if t + self._phase_time_offset >= (self.current_opt_node + 1) * self.dt_nodes:
                 self.current_opt_node += 1
 
         if self._replan() and not self.diverged:
@@ -452,6 +461,35 @@ class LocomotionMPC:
             self._step()
             sim_time += self.sim_dt
         return np.array(q_traj)
+
+    def plot_traj(self, var_name: str, save_path: Optional[str] = None):
+        """Plot a recorded trajectory ('q', 'v', 'tau') over time, 3 columns
+        per row (reference `mpc.py:630-683`)."""
+        import matplotlib
+
+        matplotlib.use("Agg", force=False)
+        import matplotlib.pyplot as plt
+
+        traj_attr = {"q": "q_full", "v": "v_full", "tau": "tau_full"}.get(var_name)
+        if traj_attr is None or not getattr(self, traj_attr):
+            raise ValueError(f"No recorded trajectory for '{var_name}'."
+                             " Choose from: 'q', 'v', 'tau'.")
+        traj = np.vstack(getattr(self, traj_attr))
+        N, D = traj.shape
+        t = np.arange(N) * self.sim_dt
+        rows = (D + 2) // 3
+        fig, axs = plt.subplots(rows, 3, figsize=(15, 3 * rows))
+        axs = np.atleast_1d(axs).ravel()
+        for i in range(D):
+            axs[i].plot(t, traj[:, i])
+            axs[i].set_title(f"{var_name}[{i}]")
+            axs[i].grid(True)
+        for i in range(D, len(axs)):
+            fig.delaxes(axs[i])
+        fig.tight_layout()
+        if save_path:
+            fig.savefig(save_path, dpi=110, bbox_inches="tight")
+        return fig
 
     def print_timings(self):
         print()

@@ -144,8 +144,25 @@ class Simulator:
         real_time: bool = False,
         max_torque_clip: bool = True,
         stop_on_fall: bool = True,
+        video_path: Optional[str] = None,
+        video_fps: int = 25,
     ) -> SimResult:
-        """Step the plant at sim_dt, querying the controller every step."""
+        """Step the plant at sim_dt, querying the controller every step.
+
+        video_path: optional .npz (frame stack) / .gif output rendered with
+        mujoco.Renderer at video_fps (skipped with a warning when no
+        offscreen GL context is available — headless images).
+        """
+        renderer, frames, frame_every = None, [], 0
+        if video_path is not None:
+            try:
+                import mujoco as _mj
+
+                renderer = _mj.Renderer(self.model, height=240, width=320)
+                frame_every = max(int(round(1.0 / (video_fps * self.sim_dt))), 1)
+            except Exception as e:  # no EGL/OSMesa in headless images
+                print(f"[sim] video disabled (no offscreen GL): {e}")
+                renderer = None
         n_steps = int(round(sim_time / self.sim_dt))
         tl = np.asarray(self.spec.torque_limit)
         fell = False
@@ -173,6 +190,10 @@ class Simulator:
 
             mujoco.mj_step(self.model, self.data)
 
+            if renderer is not None and step % frame_every == 0:
+                renderer.update_scene(self.data)
+                frames.append(renderer.render().copy())
+
             if stop_on_fall and self._bad_collision():
                 fell = True
                 termination = "collision"
@@ -183,6 +204,9 @@ class Simulator:
             if real_time:
                 time.sleep(self.sim_dt)
 
+        if renderer is not None and frames:
+            self._write_video(video_path, frames, video_fps)
+
         return SimResult(
             sim_time=self.data.time,
             fell=fell,
@@ -190,3 +214,26 @@ class Simulator:
             n_steps=step + 1,
             termination=termination,
         )
+
+    @staticmethod
+    def _write_video(path: str, frames, fps: int):
+        import numpy as _np
+
+        if path.endswith(".gif"):
+            from matplotlib import animation
+            import matplotlib
+
+            matplotlib.use("Agg", force=False)
+            import matplotlib.pyplot as plt
+
+            fig = plt.figure(figsize=(frames[0].shape[1] / 100, frames[0].shape[0] / 100))
+            ax = fig.add_axes([0, 0, 1, 1])
+            ax.axis("off")
+            im = ax.imshow(frames[0])
+            anim = animation.FuncAnimation(
+                fig, lambda i: im.set_data(frames[i]), frames=len(frames)
+            )
+            anim.save(path, writer=animation.PillowWriter(fps=fps))
+            plt.close(fig)
+        else:
+            _np.savez_compressed(path, frames=_np.stack(frames), fps=fps)

@@ -186,6 +186,15 @@ class TrajOptSolver:
         self.cost = cost
         self.dtype = dtype
         self.N = opt.n_nodes
+        if opt.enable_time_opt:
+            # Per-node dt optimization (reference config_abstract.py:49-52)
+            # requires per-node A/B linearization of the now dt-nonlinear
+            # shooting dynamics; scheduled for the next revision. The
+            # reference's deployed configs run with it disabled as well
+            # (mpc_opt.py has no enable_time_opt override).
+            raise NotImplementedError(
+                "enable_time_opt is not supported yet by the TPU solver"
+            )
         self.dt_nodes = opt.get_dt_nodes()
         self.weights = make_weights(opt, cost, spec, dtype=dtype)
         self.A, self.B = dynamics_matrices(self.dt_nodes, dtype)
