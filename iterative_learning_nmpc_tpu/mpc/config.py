@@ -240,12 +240,27 @@ COSTS = {
 }
 
 
+import copy
+
+
 def get_quadruped_config(gait_name: str, robot_name: str):
-    """(gait, opt, cost) factory — reference `config/quadruped/utils.py:8-17`."""
+    """(gait, opt, cost) factory — reference `config/quadruped/utils.py:8-17`.
+
+    The reference catalog is Go2-only; for Solo12 (a ~2.5 kg robot with
+    2.7 Nm actuators and ~0.22 m standing height) the gait geometry and PD
+    gains scale down.
+    """
     gait = GAITS.get(gait_name.lower())
     if gait is None:
         raise ValueError(f"{gait_name} not available.")
     cost_fn = COSTS.get((robot_name.lower(), gait_name.lower()))
     if cost_fn is None:
         raise ValueError(f"Cost config: {gait_name} for {robot_name} not available.")
-    return gait, MPCOptConfig(), cost_fn()
+    gait = copy.deepcopy(gait)
+    opt = MPCOptConfig()
+    if robot_name.lower() == "solo12":
+        gait.nom_height = 0.22
+        gait.step_height = min(gait.step_height, 0.04)
+        opt.Kp = 6.0
+        opt.Kd = 0.3
+    return gait, opt, cost_fn()

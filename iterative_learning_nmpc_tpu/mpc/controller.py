@@ -127,19 +127,26 @@ class LocomotionMPC:
         n_interp = self.n_interp_plan
         spec = self.spec
 
-        def plan(X_prev, U_prev, shift, params, n_iter):
+        def plan(X_prev, U_prev, lam_prev, shift, params, n_iter):
+            import dataclasses as _dc
+
             X_ws, U_ws = solver.shift_warmstart(X_prev, U_prev, shift)
             X_ws = X_ws.at[0].set(params.x0)
+            # dual warm start: shift AL multipliers with the primal
+            lam_ws = solver.shift_multipliers(lam_prev, shift)
+            params = _dc.replace(params, lam_eq=lam_ws)
             sol = solver.solve(X_ws, U_ws, params, n_iter)
+            lam_new = solver.update_multipliers(sol.X, sol.U, params)
             q_plan, v_plan, id_rep = interpolate_plan(
                 sol.q, sol.v, sol.a, params.dt, n_interp
             )
             a_plan = sol.a[id_rep]
             f_plan = sol.f[id_rep]
             tau_ff = jax.vmap(partial(dyn.id_torques, spec))(q_plan, v_plan, a_plan, f_plan)
-            return sol.X, sol.U, q_plan, v_plan, a_plan, f_plan, tau_ff, sol.stats
+            return (sol.X, sol.U, lam_new, q_plan, v_plan, a_plan, f_plan,
+                    tau_ff, sol.stats)
 
-        self._plan_jit = jax.jit(plan, static_argnums=4)
+        self._plan_jit = jax.jit(plan, static_argnums=5)
 
     # ------------------------------------------------------------------
     def reset(self, reset_solver: bool = True) -> None:
@@ -166,6 +173,7 @@ class LocomotionMPC:
 
         self._X_prev = None
         self._U_prev = None
+        self._lam_prev = None
 
         # plots / records
         self.q_full, self.v_full, self.a_full, self.f_full, self.tau_full = [], [], [], [], []
@@ -316,16 +324,18 @@ class LocomotionMPC:
         )
 
         if self._X_prev is None:
-            X_prev, U_prev = self.solver.cold_start(params)
+            X_prev, U_prev = jax.jit(self.solver.cold_start)(params)
+            lam_prev = np.zeros((N, 18), np.float32)
             shift = 0
         else:
             X_prev, U_prev = self._X_prev, self._U_prev
+            lam_prev = self._lam_prev
             shift = node - self.last_node
         n_iter = self.config_opt.max_iter_first if self.first_solve else self.config_opt.max_iter
 
-        out = self._plan_jit(X_prev, U_prev, jnp.asarray(shift), params, n_iter)
-        X, U, q_plan, v_plan, a_plan, f_plan, tau_ff, stats = jax.block_until_ready(out)
-        self._X_prev, self._U_prev = X, U
+        out = self._plan_jit(X_prev, U_prev, lam_prev, jnp.asarray(shift), params, n_iter)
+        X, U, lam, q_plan, v_plan, a_plan, f_plan, tau_ff, stats = jax.block_until_ready(out)
+        self._X_prev, self._U_prev, self._lam_prev = X, U, lam
         self.last_node = node
         if not np.isfinite(np.asarray(stats.cost)):
             raise RuntimeError(f"solver diverged: {stats}")

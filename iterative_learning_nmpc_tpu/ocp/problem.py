@@ -59,6 +59,11 @@ class OCPParams:
     joint_ref: jax.Array     # (12,)
     step_height: jax.Array   # ()
     dt: jax.Array            # (N,) node durations
+    # Augmented-Lagrangian multipliers for the equality penalty rows
+    # (dynamics consistency 6 + contact pinning 12 per node), in the weighted
+    # residual space. Warm-start-shifted between solves — the role of the
+    # reference's dual warm start (solver.py:290-342).
+    lam_eq: jax.Array        # (N, 18)
 
 
 @jax.tree_util.register_dataclass
@@ -165,6 +170,7 @@ def stage_residual(
     base_ref: jax.Array,
     joint_ref: jax.Array,
     step_height: jax.Array,
+    lam_k: jax.Array = None,   # (18,) AL multipliers (weighted space)
     include_torque: bool = True,
 ) -> jax.Array:
     """All running residuals for one node, concatenated (static length).
@@ -213,6 +219,8 @@ def stage_residual(
     # h-dynamics constraint + CasADi torque expressions.
     tau_full = dyn.rnea(spec, q, v, a, f_ext_feet=f_eff)
     r_dyn = tau_full[:6] * w.dyn_cons
+    if lam_k is not None:
+        r_dyn = r_dyn + lam_k[:6]
 
     # --- contact pinning: active feet don't move; height pinned to the plane
     #     with Baumgarte gain (PointContact + p_gain, solver.py:219) ---
@@ -220,6 +228,9 @@ def stage_residual(
     pin_z = v_feet[:, 2] + w.stab_gain * (p_feet[:, 2] - plane_k[:, 2])
     r_cnt = (cnt_k[:, None] * jnp.concatenate([pin_xy, pin_z[:, None]], axis=1)
              ).reshape(-1) * w.contact_vel
+    if lam_k is not None:
+        # multipliers only act on active-contact rows
+        r_cnt = r_cnt + jnp.repeat(cnt_k, 3) * lam_k[6:]
 
     # --- friction cone (pyramid) hinge: |f_xy| <= mu f_z, f_z >= 0 ---
     fx, fy, fz = f_eff[:, 0], f_eff[:, 1], f_eff[:, 2]
@@ -269,5 +280,22 @@ def stage_residual_from_params(spec, w, x, u, p: OCPParams, k: int):
     return stage_residual(
         spec, w, x, u,
         p.cnt[:, k], p.peak[:, k], p.plane_point[:, k], p.cnt_loc[:, k],
-        p.restrict, p.base_ref, p.joint_ref, p.step_height,
+        p.restrict, p.base_ref, p.joint_ref, p.step_height, p.lam_eq[k],
     )
+
+
+def equality_residuals(spec: RobotSpec, w: Weights, x, u, cnt_k, plane_k):
+    """The bare (multiplier-free) equality penalty rows, weighted: used for
+    the AL multiplier update lam <- clip(lam + r_eq)."""
+    q, v = split_state(x)
+    a, f = split_input(u)
+    f_eff = cnt_k[:, None] * f
+    tau_full = dyn.rnea(spec, q, v, a, f_ext_feet=f_eff)
+    r_dyn = tau_full[:6] * w.dyn_cons
+    p_feet = dyn.foot_positions(spec, q)
+    v_feet = dyn.foot_velocities(spec, q, v)
+    pin_xy = v_feet[:, :2]
+    pin_z = v_feet[:, 2] + w.stab_gain * (p_feet[:, 2] - plane_k[:, 2])
+    r_cnt = (cnt_k[:, None] * jnp.concatenate([pin_xy, pin_z[:, None]], axis=1)
+             ).reshape(-1) * w.contact_vel
+    return jnp.concatenate([r_dyn, r_cnt])

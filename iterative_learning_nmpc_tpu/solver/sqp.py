@@ -75,10 +75,11 @@ class Solution(NamedTuple):
 
 
 def _stage_residual_z(spec, w, z, cnt, peak, plane, cnt_loc, restrict, base_ref,
-                      joint_ref, step_h, include_torque=True):
+                      joint_ref, step_h, lam=None, include_torque=True):
     x, u = z[:NX], z[NX:]
     return stage_residual(spec, w, x, u, cnt, peak, plane, cnt_loc, restrict,
-                          base_ref, joint_ref, step_h, include_torque=include_torque)
+                          base_ref, joint_ref, step_h, lam_k=lam,
+                          include_torque=include_torque)
 
 
 def _linearize_stages(spec, w, X, U, p: OCPParams, include_torque: bool = False):
@@ -90,23 +91,23 @@ def _linearize_stages(spec, w, X, U, p: OCPParams, include_torque: bool = False)
     N = U.shape[0]
     Z = jnp.concatenate([X[:-1], U], axis=1)  # (N, NX+NU)
 
-    def res_one(z, cnt, peak, plane, cnt_loc):
+    def res_one(z, cnt, peak, plane, cnt_loc, lam):
         return _stage_residual_z(
             spec, w, z, cnt, peak, plane, cnt_loc,
-            p.restrict, p.base_ref, p.joint_ref, p.step_height,
+            p.restrict, p.base_ref, p.joint_ref, p.step_height, lam,
             include_torque=include_torque,
         )
 
-    def res_and_jac(z, cnt, peak, plane, cnt_loc):
-        r = res_one(z, cnt, peak, plane, cnt_loc)
-        J = jax.jacfwd(res_one)(z, cnt, peak, plane, cnt_loc)
+    def res_and_jac(z, cnt, peak, plane, cnt_loc, lam):
+        r = res_one(z, cnt, peak, plane, cnt_loc, lam)
+        J = jax.jacfwd(res_one)(z, cnt, peak, plane, cnt_loc, lam)
         return r, J
 
     cnt_n = p.cnt[:, :N].T        # (N, 4)
     peak_n = p.peak[:, :N].T
     plane_n = p.plane_point[:, :N].transpose(1, 0, 2)   # (N, 4, 3)
     loc_n = p.cnt_loc[:, :N].transpose(1, 0, 2)
-    r, J = jax.vmap(res_and_jac)(Z, cnt_n, peak_n, plane_n, loc_n)
+    r, J = jax.vmap(res_and_jac)(Z, cnt_n, peak_n, plane_n, loc_n, p.lam_eq)
     return r, J[:, :, :NX], J[:, :, NX:]
 
 
@@ -208,17 +209,17 @@ class TrajOptSolver:
         N = U.shape[0]
         Z = jnp.concatenate([X[:-1], U], axis=1)
 
-        def res_one(z, cnt, peak, plane, cnt_loc):
+        def res_one(z, cnt, peak, plane, cnt_loc, lam):
             return _stage_residual_z(
                 self.spec, self.weights, z, cnt, peak, plane, cnt_loc,
-                p.restrict, p.base_ref, p.joint_ref, p.step_height,
+                p.restrict, p.base_ref, p.joint_ref, p.step_height, lam,
             )
 
         cnt_n = p.cnt[:, :N].T
         peak_n = p.peak[:, :N].T
         plane_n = p.plane_point[:, :N].transpose(1, 0, 2)
         loc_n = p.cnt_loc[:, :N].transpose(1, 0, 2)
-        rs = jax.vmap(res_one)(Z, cnt_n, peak_n, plane_n, loc_n)
+        rs = jax.vmap(res_one)(Z, cnt_n, peak_n, plane_n, loc_n, p.lam_eq)
         r_term = terminal_residual(
             self.spec, self.weights, X[-1], p.peak[:, -1], p.base_ref_e,
             p.joint_ref, p.step_height,
@@ -321,6 +322,30 @@ class TrajOptSolver:
         idx_u = jnp.clip(jnp.arange(self.N) + shift, 0, self.N - 1)
         return X[idx_x], U[idx_u]
 
+    def shift_multipliers(self, lam_eq, shift):
+        idx = jnp.clip(jnp.arange(self.N) + shift, 0, self.N - 1)
+        return lam_eq[idx]
+
+    def update_multipliers(self, X, U, params: OCPParams,
+                           lam_max: float = 30.0) -> jax.Array:
+        """Augmented-Lagrangian dual update: lam <- clip(lam + r_eq(X, U)).
+
+        The multipliers live in the weighted residual space; with the RTI
+        regime (1 SQP iteration per replan) they anneal the equality
+        violations across successive solves — the functional counterpart of
+        HPIPM's warm-started duals."""
+        from ..ocp.problem import equality_residuals
+
+        N = U.shape[0]
+        cnt_n = params.cnt[:, :N].T
+        plane_n = params.plane_point[:, :N].transpose(1, 0, 2)
+        r_eq = jax.vmap(
+            lambda x, u, cnt, plane: equality_residuals(
+                self.spec, self.weights, x, u, cnt, plane
+            )
+        )(X[:-1], U, cnt_n, plane_n)
+        return jnp.clip(params.lam_eq + r_eq, -lam_max, lam_max)
+
 
 def make_params(
     solver: TrajOptSolver,
@@ -336,6 +361,7 @@ def make_params(
     step_height=0.05,
     dt=None,
     ground_height=0.0,
+    lam_eq=None,
 ) -> OCPParams:
     """Ergonomic OCPParams builder with sensible defaults.
 
@@ -365,6 +391,8 @@ def make_params(
         joint_ref = np.asarray(solver.spec.q_home)[6:]
     if dt is None:
         dt = np.full((N,), solver.dt_nodes, np_dtype)
+    if lam_eq is None:
+        lam_eq = np.zeros((N, 18), np_dtype)
     return OCPParams(
         x0=x0,
         cnt=cnt,
@@ -377,4 +405,5 @@ def make_params(
         joint_ref=asnp(joint_ref),
         step_height=asnp(step_height),
         dt=asnp(dt),
+        lam_eq=asnp(lam_eq),
     )
