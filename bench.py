@@ -55,12 +55,18 @@ def main():
     jax.block_until_ready(out)
     compile_s = time.perf_counter() - t0
 
-    # timed steady-state loop
+    # timed steady-state loop (optionally under the JAX profiler:
+    # BENCH_PROFILE=/tmp/nmpc_trace writes a TensorBoard trace there)
+    profile_dir = os.environ.get("BENCH_PROFILE", "")
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
     t0 = time.perf_counter()
     for _ in range(reps):
         Xb2, Ub2, cost = rti_batch(Xb, Ub, pb)
     jax.block_until_ready((Xb2, Ub2))
     dt = time.perf_counter() - t0
+    if profile_dir:
+        jax.profiler.stop_trace()
     solves_per_s = batch * reps / dt
 
     # single-solve latency (batch=1) — the per-step real-time budget check

@@ -279,28 +279,49 @@ class TrajOptSolver:
         n_iter: int,
         merit_rho: float = 1.0e2,
     ) -> Solution:
-        """Run n_iter (static) SQP iterations from warm start (X, U).
+        """Run up to n_iter (static bound) SQP iterations from warm start.
 
-        Warm-started RTI solves (n_iter == 1) use the reduced steady-state
-        line-search set; multi-iteration (cold/first) solves use the full set.
+        Multi-iteration solves stop early once the step norm drops below
+        nlp_tol (the reference's outer-loop tolerance, config_abstract.py:71);
+        warm-started RTI solves (n_iter == 1) use the reduced steady-state
+        line-search set.
         """
         alphas = (
             self.opt.ls_alphas_steady if n_iter <= 1 else self.opt.ls_alphas
         )
+        nlp_tol = jnp.asarray(self.opt.nlp_tol, X.dtype)
 
-        def body(_, carry):
-            X, U, _, _, _ = carry
+        def cond(carry):
+            i, _, _, _, step_norm, _ = carry
+            return jnp.logical_and(i < n_iter,
+                                   jnp.logical_or(i == 0, step_norm > nlp_tol))
+
+        def body(carry):
+            i, X, U, _, _, _ = carry
             X, U, cost, step_norm, alpha = self._sqp_iter(
                 X, U, params, merit_rho, alphas=alphas
             )
-            return (X, U, cost, step_norm, alpha)
+            return (i + 1, X, U, cost, step_norm, alpha)
 
         zero = jnp.asarray(0.0, X.dtype)
-        X, U, cost, step_norm, alpha = jax.lax.fori_loop(
-            0, n_iter, body, (X, U, zero, zero, zero)
+        _, X, U, cost, step_norm, alpha = jax.lax.while_loop(
+            cond, body, (jnp.asarray(0), X, U, zero, zero, zero)
         )
         defect = jnp.max(jnp.abs(self._defects(X, U, params)))
         return Solution(X, U, SolveStats(cost, defect, step_norm, alpha))
+
+    # ---------------- reference API parity (solver.py:set_* setters) -------
+    # NOTE: these mutate the config consulted at TRACE time; they affect
+    # jit specializations created after the call (the controller's
+    # first-solve boost uses the n_iter static argument instead).
+    def set_max_iter(self, n: int) -> None:
+        self.opt.max_iter = int(n)
+
+    def set_nlp_tol(self, tol: float) -> None:
+        self.opt.nlp_tol = float(tol)
+
+    def set_qp_tol(self, tol: float) -> None:
+        self.opt.qp_tol = float(tol)
 
     # ---------------- warm starts ----------------
     def cold_start(self, params: OCPParams) -> Tuple[jax.Array, jax.Array]:
