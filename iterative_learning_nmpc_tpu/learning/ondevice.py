@@ -1,0 +1,204 @@
+"""Fully on-device closed-loop MPC rollouts (batched expert datagen).
+
+The reference generates BC data one CPU rollout at a time (MuJoCo + acados,
+`Behavior_Cloning/utils/Rollout_MPC.py`). Here the ENTIRE closed loop —
+RTI replan, plan interpolation, feed-forward RNEA + PD, soft-contact plant
+step, dataset-row assembly — runs inside one jitted `lax.scan`, vmapped over
+thousands of perturbed initial states and sharded over the device mesh.
+This is the pod-scale datagen path from BASELINE.json: "thousands of
+perturbed initial states and disturbance seeds rolled out in parallel per
+control step".
+
+Structure per environment:
+  outer scan over replanning intervals (one OCP node = one 40 ms interval):
+    - assemble OCP params from the device-resident gait tables + integrated
+      velocity-tracking base reference,
+    - warm-start shift by one node (+ AL dual shift), 1-iteration RTI solve,
+    - Hermite-interpolate the first interval of the plan to the control rate
+      and precompute feed-forward torques,
+    - inner scan over the control steps: tau_ff + joint PD, soft-contact
+      plant step, record the 44-dim dataset state + PD-target action.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..gait.planner import ContactPlanner
+from ..models import dynamics as dyn
+from ..models.transforms import convert_to_mujoco
+from ..mpc.config import get_quadruped_config
+from ..mpc.interpolate import hermite_interp
+from ..ocp.problem import OCPParams
+from ..robots.spec import RobotSpec
+from ..sim import jax_sim
+from ..solver.sqp import TrajOptSolver
+
+
+class RolloutBatch(NamedTuple):
+    """Per-env, per-step dataset rows (B, T, ...)."""
+
+    q: jax.Array          # (B, T, 18) chart positions
+    v: jax.Array          # (B, T, 18)
+    state44: jax.Array    # (B, T, 44) policy-state rows
+    action: jax.Array     # (B, T, 12) PD-target actions
+    tau: jax.Array        # (B, T, 12) applied torques
+    valid: jax.Array      # (B, T) 1 until the env fell
+
+
+def _dataset_state(spec, q, v, phase=0.0):
+    """On-device 44-dim policy state (learning/recorder.py contract)."""
+    q_mj, v_mj = convert_to_mujoco(q, v)
+    p_feet = dyn.foot_positions(spec, q)
+    base_wrt_feet = (q_mj[None, :3] - p_feet)[:, :2].reshape(-1)
+    return jnp.concatenate(
+        [jnp.full((1,), phase, q.dtype), v_mj, q_mj[2:], base_wrt_feet]
+    )
+
+
+def make_batched_mpc_rollout(
+    spec: RobotSpec,
+    gait_name: str = "trot",
+    n_intervals: int = 50,          # replanning intervals (1 node each)
+    sim_dt: float = 1.0e-3,
+    kd_action: float = 1.5,         # dataset action encoding kd (recorder)
+    contact_params: Optional[jax_sim.ContactParams] = None,
+):
+    """Build the jitted batched closed-loop rollout.
+
+    Returns fn(x0 (B, 36), v_des (B, 3), key) -> RolloutBatch with
+    T = n_intervals * steps_per_interval control steps.
+    """
+    gait, opt, cost = get_quadruped_config(gait_name, spec.name)
+    solver = TrajOptSolver(spec, opt, cost)
+    N = solver.N
+    dt_nodes = solver.dt_nodes
+    steps = int(round(dt_nodes / sim_dt))       # control steps per interval
+    planner = ContactPlanner(spec.feet_frame_names, dt_nodes, gait)
+    cycle = planner.nodes_per_cycle
+    # device gait table: contacts/peaks window per start-node-in-cycle
+    cnt_table = np.stack(
+        [planner.get_contacts(k, N + 1) for k in range(cycle)]
+    ).astype(np.float32)                        # (cycle, 4, N+1)
+    peak_table = 1.0 - cnt_table
+    ground = float(np.asarray(spec.foot_radius))
+    plane = np.zeros((4, N + 1, 3), np.float32)
+    plane[:, :, 2] = ground
+    joint_ref = np.asarray(spec.q_home)[6:].astype(np.float32)
+    cp = contact_params or jax_sim.default_contact_params()
+    Kp, Kd = opt.Kp, opt.Kd
+    nom_h = gait.nom_height + ground
+    step_h = gait.step_height + ground
+    tl = np.asarray(spec.torque_limit)
+
+    cnt_table_dev = jnp.asarray(cnt_table)
+    peak_table_dev = jnp.asarray(peak_table)
+
+    def params_for(node_i, x, ref_xy_yaw, v_des):
+        cnt = cnt_table_dev[jnp.mod(node_i, cycle)]
+        peak = peak_table_dev[jnp.mod(node_i, cycle)]
+        # velocity-tracking base reference (device port of mpc.py:210-272,
+        # simplified: yaw-aligned global velocity, integrated position ref)
+        base_ref = jnp.zeros(12, x.dtype)
+        base_ref = base_ref.at[0].set(ref_xy_yaw[0])
+        base_ref = base_ref.at[1].set(ref_xy_yaw[1])
+        base_ref = base_ref.at[2].set(nom_h)
+        base_ref = base_ref.at[3].set(ref_xy_yaw[2])
+        base_ref = base_ref.at[6:9].set(v_des)
+        base_ref_e = base_ref.at[:2].add(v_des[:2] * opt.time_horizon)
+        return OCPParams(
+            x0=x,
+            cnt=jnp.asarray(cnt),
+            peak=jnp.asarray(peak),
+            plane_point=jnp.asarray(plane),
+            cnt_loc=jnp.zeros((4, N + 1, 3), x.dtype),
+            restrict=jnp.asarray(0.0, x.dtype),
+            base_ref=base_ref,
+            base_ref_e=base_ref_e,
+            joint_ref=jnp.asarray(joint_ref),
+            step_height=jnp.asarray(step_h, x.dtype),
+            dt=jnp.full((N,), dt_nodes, x.dtype),
+            lam_eq=jnp.zeros((N, 18), x.dtype),
+        )
+
+    def one_env(x0, v_des):
+        # initial converged plan (cold start, a few SQP iterations)
+        p0 = params_for(0, x0, jnp.concatenate([x0[:2], x0[3:4]]), v_des)
+        Xw, Uw = solver.cold_start(p0)
+        sol0 = solver.solve(Xw, Uw, p0, 6)
+
+        def interval(carry, i):
+            x, X_prev, U_prev, lam, ref, alive = carry
+            p = params_for(i, x, ref, v_des)
+            p = dataclasses.replace(p, lam_eq=solver.shift_multipliers(lam, 1))
+            X_ws, U_ws = solver.shift_warmstart(X_prev, U_prev, 1)
+            X_ws = X_ws.at[0].set(x)
+            sol = solver.solve(X_ws, U_ws, p, 1)
+            lam_new = solver.update_multipliers(sol.X, sol.U, p)
+
+            # interpolate the first interval of the plan to the control rate
+            t_knots = jnp.concatenate([jnp.zeros(1, x.dtype), jnp.cumsum(p.dt)])
+            t_q = (jnp.arange(steps, dtype=x.dtype) + 1.0) * sim_dt
+            q_plan = hermite_interp(t_knots, sol.q, sol.v, t_q)
+            a0 = sol.a[:1]
+            v_plan = hermite_interp(
+                t_knots, sol.v, jnp.concatenate([a0, sol.a]), t_q
+            )
+            a_plan = jnp.tile(sol.a[0][None], (steps, 1))
+            f_plan = jnp.tile(sol.f[0][None], (steps, 1, 1))
+            tau_ff = jax.vmap(partial(dyn.id_torques, spec))(
+                q_plan, v_plan, a_plan, f_plan
+            )
+
+            def ctrl_step(sx, inp):
+                q_d, v_d, ff = inp
+                st, rec = sx, None
+                tau = (
+                    ff
+                    + Kp * (q_d[6:] - st.q[6:])
+                    + Kd * (v_d[6:] - st.v[6:])
+                )
+                tau = jnp.clip(tau, -tl, tl)
+                new = jax_sim.step(spec, st, tau, cp, sim_dt)
+                state44 = _dataset_state(spec, new.q, new.v)
+                action = (tau + kd_action * new.v[6:]) / Kp + new.q[6:]
+                return new, (new.q, new.v, state44, action, tau)
+
+            st0 = jax_sim.SimState(x[:18], x[18:], jnp.asarray(0.0, x.dtype))
+            st_end, recs = jax.lax.scan(ctrl_step, st0, (q_plan, v_plan, tau_ff))
+            x_new = jnp.concatenate([st_end.q, st_end.v])
+
+            # fall detection: freeze 'alive' once violated
+            upright = (
+                (st_end.q[2] > 0.15)
+                & (st_end.q[2] < 0.5)
+                & (jnp.abs(st_end.q[4]) < 0.5)
+                & (jnp.abs(st_end.q[5]) < 0.5)
+            )
+            alive_new = alive * upright.astype(x.dtype)
+            ref_new = ref + jnp.concatenate([v_des[:2], jnp.zeros(1, x.dtype)]) * dt_nodes
+            valid = jnp.full((steps,), alive_new, x.dtype)
+            out = recs + (valid,)
+            return (x_new, sol.X, sol.U, lam_new, ref_new, alive_new), out
+
+        ref0 = jnp.concatenate([x0[:2], x0[3:4]])
+        carry0 = (
+            x0, sol0.X, sol0.U, jnp.zeros((N, 18), x0.dtype), ref0,
+            jnp.asarray(1.0, x0.dtype),
+        )
+        _, (Q, V, S44, A, TAU, VALID) = jax.lax.scan(
+            interval, carry0, jnp.arange(n_intervals)
+        )
+        # (n_intervals, steps, d) -> (T, d)
+        flat = lambda z: z.reshape((-1,) + z.shape[2:])
+        return RolloutBatch(
+            q=flat(Q), v=flat(V), state44=flat(S44), action=flat(A),
+            tau=flat(TAU), valid=VALID.reshape(-1),
+        )
+
+    return jax.jit(jax.vmap(one_env))

@@ -71,24 +71,30 @@ def contact_forces(spec: RobotSpec, q, v, cp: ContactParams,
 
 
 def step(spec: RobotSpec, state: SimState, tau_joints, cp: ContactParams,
-         dt: float = 1.0e-3, f_ext: Optional[jax.Array] = None) -> SimState:
-    """One semi-implicit Euler step with contact + optional base wrench."""
-    f_c = contact_forces(spec, state.q, state.v, cp)
-    if f_ext is not None:
-        # external base force enters through the bias side: approximate by
-        # adding it as a fictitious foot-independent wrench via rnea's base
-        # rows -> simplest faithful route: add to the generalized forces.
-        pass
+         dt: float = 1.0e-3, f_ext: Optional[jax.Array] = None,
+         substeps: int = 2) -> SimState:
+    """One control step with `substeps` semi-implicit physics sub-steps.
+
+    Penalty contact at quadruped stiffness needs a smaller integration step
+    than the 1 kHz control rate to stay chatter-free; torques are held (ZOH)
+    across the sub-steps.
+    """
     tau = jnp.clip(tau_joints, -spec.torque_limit, spec.torque_limit)
-    a = dyn.forward_dynamics(spec, state.q, state.v, tau, f_ext_feet=f_c)
-    if f_ext is not None:
-        # world-frame force on the base maps directly onto the chart's
-        # prismatic coordinates: a_base += M^{-1} contribution approximated
-        # by F/m on the linear part (small-perturbation fault injection)
-        a = a.at[:3].add(f_ext[:3] / spec.mass.sum())
-    v2 = state.v + dt * a
-    q2 = state.q + dt * v2
-    return SimState(q2, v2, state.t + dt)
+    h = dt / substeps
+
+    def sub(state, _):
+        f_c = contact_forces(spec, state.q, state.v, cp)
+        a = dyn.forward_dynamics(spec, state.q, state.v, tau, f_ext_feet=f_c)
+        if f_ext is not None:
+            # world-frame force on the base maps onto the chart's prismatic
+            # coordinates (small-perturbation fault injection)
+            a = a.at[:3].add(f_ext[:3] / spec.mass.sum())
+        v2 = state.v + h * a
+        q2 = state.q + h * v2
+        return SimState(q2, v2, state.t + h), None
+
+    out, _ = jax.lax.scan(sub, state, None, length=substeps)
+    return out
 
 
 def pd_rollout(

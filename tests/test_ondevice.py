@@ -1,0 +1,42 @@
+"""On-device batched closed-loop MPC rollout tests."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from iterative_learning_nmpc_tpu.learning.ondevice import make_batched_mpc_rollout
+from iterative_learning_nmpc_tpu.models import dynamics as dyn
+
+
+def _x0(spec):
+    q0 = np.asarray(spec.q_home, np.float32).copy()
+    p0 = np.asarray(jax.jit(lambda q: dyn.foot_positions(spec, q))(q0))
+    q0[2] += -p0[0, 2] + float(np.asarray(spec.foot_radius))
+    return np.concatenate([q0, np.zeros(18, np.float32)])
+
+
+@pytest.mark.slow
+def test_batched_closed_loop_trot(go2):
+    x0 = _x0(go2)
+    B = 4
+    rng = np.random.default_rng(0)
+    x0b = np.tile(x0[None], (B, 1))
+    x0b[:, 6:18] += rng.normal(0, 0.02, (B, 12)).astype(np.float32)
+    vdes = np.tile(np.array([[0.3, 0.0, 0.0]], np.float32), (B, 1))
+    rollout = make_batched_mpc_rollout(go2, n_intervals=20)
+    out = rollout(jnp.asarray(x0b), jnp.asarray(vdes))
+
+    assert out.q.shape == (B, 800, 18)
+    assert out.state44.shape == (B, 800, 44)
+    assert out.action.shape == (B, 800, 12)
+    # all environments stay up for the 0.8 s horizon
+    assert float(out.valid.mean()) > 0.9
+    z = np.asarray(out.q[:, :, 2])
+    assert z.min() > 0.15 and z.max() < 0.45
+    # walks forward
+    assert np.asarray(out.q[:, -1, 0]).mean() > 0.02
+    # dataset rows are finite and the action encoding is near the joint range
+    assert np.isfinite(np.asarray(out.state44)).all()
+    act = np.asarray(out.action)
+    assert np.abs(act).max() < 4.0
