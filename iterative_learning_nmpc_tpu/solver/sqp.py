@@ -249,7 +249,11 @@ class TrajOptSolver:
         defects = self._defects(X, U, p)
         dx0 = p.x0 - X[0]
 
-        K, kff = _riccati_solve(
+        if self.opt.riccati_mode == "associative":
+            from .parallel_riccati import parallel_riccati as _riccati
+        else:
+            _riccati = _riccati_solve
+        K, kff = _riccati(
             self.A, self.B, Q, R, M, qx_vec, ru_vec, P_N, p_N, defects,
             jnp.asarray(self.opt.lm_reg, X.dtype),
         )
