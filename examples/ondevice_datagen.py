@@ -27,6 +27,8 @@ def main():
     ap.add_argument("--out", default="./data/ondevice_0.hdf5")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--randomize", action="store_true",
+                    help="per-env payload + terrain domain randomization")
     args = ap.parse_args()
 
     if args.cpu:
@@ -58,8 +60,17 @@ def main():
 
     n_intervals = int(round(args.seconds / 0.04))
     rollout = make_batched_mpc_rollout(spec, n_intervals=n_intervals)
+    ps = tr = None
+    if args.randomize:
+        from iterative_learning_nmpc_tpu.learning.randomize import (
+            randomize_payload,
+            randomize_terrain,
+        )
+
+        ps = randomize_payload(spec, jax.random.PRNGKey(args.seed), B)
+        tr = randomize_terrain(jax.random.PRNGKey(args.seed + 1), B)
     t0 = time.time()
-    out = rollout(jnp.asarray(x0b), jnp.asarray(vdes))
+    out = rollout(jnp.asarray(x0b), jnp.asarray(vdes), ps, tr)
     jax.block_until_ready(out.q)
     wall = time.time() - t0
     T = out.q.shape[1]

@@ -126,7 +126,10 @@ def make_batched_mpc_rollout(
             lam_eq=jnp.zeros((N, 18), x.dtype),
         )
 
-    def one_env(x0, v_des):
+    def one_env(x0, v_des, plant_spec, terrain):
+        """plant_spec / terrain carry per-env domain randomization (payload,
+        ground height, contact params); the CONTROLLER model stays nominal —
+        model-plant mismatch is the realistic robustness setting."""
         # initial converged plan (cold start, a few SQP iterations)
         p0 = params_for(0, x0, jnp.concatenate([x0[:2], x0[3:4]]), v_des)
         Xw, Uw = solver.cold_start(p0)
@@ -164,7 +167,10 @@ def make_batched_mpc_rollout(
                     + Kd * (v_d[6:] - st.v[6:])
                 )
                 tau = jnp.clip(tau, -tl, tl)
-                new = jax_sim.step(spec, st, tau, cp, sim_dt)
+                new = jax_sim.step(
+                    plant_spec, st, tau, terrain.contact, sim_dt,
+                    ground_height=terrain.ground_height,
+                )
                 state44 = _dataset_state(spec, new.q, new.v)
                 action = (tau + kd_action * new.v[6:]) / Kp + new.q[6:]
                 return new, (new.q, new.v, state44, action, tau)
@@ -201,4 +207,36 @@ def make_batched_mpc_rollout(
             tau=flat(TAU), valid=VALID.reshape(-1),
         )
 
-    return jax.jit(jax.vmap(one_env))
+    from .randomize import TerrainParams, payload_spec_axes
+
+    vmapped = jax.vmap(
+        one_env,
+        in_axes=(0, 0, payload_spec_axes(spec),
+                 TerrainParams(0, jax_sim.ContactParams(0, 0, 0, 0))),
+    )
+
+    def fn(x0, v_des, plant_spec=None, terrain=None):
+        """x0 (B, 36), v_des (B, 3); optional per-env plant randomization:
+        plant_spec from randomize.randomize_payload, terrain from
+        randomize.randomize_terrain (defaults = nominal plant)."""
+        B = x0.shape[0]
+        if plant_spec is None:
+            import dataclasses as _dc
+
+            plant_spec = _dc.replace(
+                spec,
+                mass=jnp.broadcast_to(jnp.asarray(spec.mass)[None],
+                                      (B,) + spec.mass.shape),
+                com=jnp.broadcast_to(jnp.asarray(spec.com)[None],
+                                     (B,) + spec.com.shape),
+            )
+        if terrain is None:
+            terrain = TerrainParams(
+                ground_height=jnp.zeros((B,), x0.dtype),
+                contact=jax.tree.map(
+                    lambda x: jnp.broadcast_to(jnp.asarray(x), (B,)), cp
+                ),
+            )
+        return vmapped(x0, v_des, plant_spec, terrain)
+
+    return jax.jit(fn)

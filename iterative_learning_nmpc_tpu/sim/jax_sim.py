@@ -72,7 +72,7 @@ def contact_forces(spec: RobotSpec, q, v, cp: ContactParams,
 
 def step(spec: RobotSpec, state: SimState, tau_joints, cp: ContactParams,
          dt: float = 1.0e-3, f_ext: Optional[jax.Array] = None,
-         substeps: int = 2) -> SimState:
+         substeps: int = 2, ground_height: float = 0.0) -> SimState:
     """One control step with `substeps` semi-implicit physics sub-steps.
 
     Penalty contact at quadruped stiffness needs a smaller integration step
@@ -83,7 +83,7 @@ def step(spec: RobotSpec, state: SimState, tau_joints, cp: ContactParams,
     h = dt / substeps
 
     def sub(state, _):
-        f_c = contact_forces(spec, state.q, state.v, cp)
+        f_c = contact_forces(spec, state.q, state.v, cp, ground_height)
         a = dyn.forward_dynamics(spec, state.q, state.v, tau, f_ext_feet=f_c)
         if f_ext is not None:
             # world-frame force on the base maps onto the chart's prismatic

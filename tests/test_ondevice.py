@@ -40,3 +40,26 @@ def test_batched_closed_loop_trot(go2):
     assert np.isfinite(np.asarray(out.state44)).all()
     act = np.asarray(out.action)
     assert np.abs(act).max() < 4.0
+
+
+@pytest.mark.slow
+def test_randomized_rollout(go2):
+    from iterative_learning_nmpc_tpu.learning.randomize import (
+        randomize_payload,
+        randomize_terrain,
+    )
+
+    x0 = _x0(go2)
+    B = 4
+    x0b = jnp.asarray(np.tile(x0[None], (B, 1)))
+    vdes = jnp.asarray(np.tile(np.array([[0.2, 0, 0]], np.float32), (B, 1)))
+    rollout = make_batched_mpc_rollout(go2, n_intervals=12)
+    ps = randomize_payload(go2, jax.random.PRNGKey(0), B, mass_range=(0.5, 2.5))
+    tr = randomize_terrain(jax.random.PRNGKey(1), B)
+    out = rollout(x0b, vdes, ps, tr)
+    # payloads actually differ per env
+    assert np.asarray(ps.mass[:, 5]).std() > 0.1
+    # the nominal-model MPC keeps the randomized plants up
+    assert float(out.valid.mean()) > 0.7
+    z = np.asarray(out.q[:, -1, 2])
+    assert np.all(z > 0.15)
