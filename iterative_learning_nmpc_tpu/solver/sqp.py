@@ -205,7 +205,6 @@ class TrajOptSolver:
 
     # ---------------- cost/merit ----------------
     def _total_cost(self, X, U, p: OCPParams):
-        r, _, _ = None, None, None
         N = U.shape[0]
         Z = jnp.concatenate([X[:-1], U], axis=1)
 
