@@ -46,6 +46,7 @@ class Database:
         self.vc_goals_std = 1.0
         self.cc_goals_mean = None
         self.cc_goals_std = None
+        self._stats_dirty = True
 
     # ------------------------------------------------------------------
     def __len__(self):
@@ -97,9 +98,16 @@ class Database:
         if times is not None:
             self.traj_times[idx] = np.asarray(times)
 
-        self.calc_input_mean_std()
+        # stats are recomputed lazily on first use (appending is O(rows
+        # added); a full-buffer rescan per append would make DAgger
+        # aggregation quadratic)
+        self._stats_dirty = True
 
     # ------------------------------------------------------------------
+    def _ensure_stats(self):
+        if self._stats_dirty:
+            self.calc_input_mean_std()
+
     def calc_input_mean_std(self):
         """Per-dim mean/std over states, EXCLUDING column 0 (gait phase) from
         normalization (reference `database.py:208-235`)."""
@@ -110,8 +118,10 @@ class Database:
             cc = self.cc_goals[self._order()]
             self.cc_goals_mean = cc.mean(axis=0)
             self.cc_goals_std = cc.std(axis=0)
+        self._stats_dirty = False
 
     def normalize_states(self, states: np.ndarray) -> np.ndarray:
+        self._ensure_stats()
         out = np.array(states, dtype=np.float64, copy=True)
         std = np.where(self.states_std[1:] > 1e-8, self.states_std[1:], 1.0)
         out[..., 1:] = (out[..., 1:] - self.states_mean[1:]) / std
@@ -132,6 +142,7 @@ class Database:
     def __getitem__(self, index):
         """(x = [state || goal], y = action), with normalization applied as
         configured (reference `database.py:55-85`)."""
+        self._ensure_stats()
         order = self._order()
         i = order[index]
         state = self.states[i]
@@ -162,6 +173,7 @@ class Database:
     def get_database_mean_std(self):
         if not self.norm_input:
             return None
+        self._ensure_stats()
         if self.goal_type == "vc":
             return [self.states_mean, self.states_std, self.vc_goals_mean, self.vc_goals_std]
         return [self.states_mean, self.states_std, self.cc_goals_mean, self.cc_goals_std]

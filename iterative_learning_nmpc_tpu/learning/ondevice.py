@@ -31,7 +31,6 @@ import numpy as np
 
 from ..gait.planner import ContactPlanner
 from ..models import dynamics as dyn
-from ..models.transforms import convert_to_mujoco
 from ..mpc.config import get_quadruped_config
 from ..mpc.interpolate import hermite_interp
 from ..ocp.problem import OCPParams
@@ -51,14 +50,7 @@ class RolloutBatch(NamedTuple):
     valid: jax.Array      # (B, T) 1 until the env fell
 
 
-def _dataset_state(spec, q, v, phase=0.0):
-    """On-device 44-dim policy state (learning/recorder.py contract)."""
-    q_mj, v_mj = convert_to_mujoco(q, v)
-    p_feet = dyn.foot_positions(spec, q)
-    base_wrt_feet = (q_mj[None, :3] - p_feet)[:, :2].reshape(-1)
-    return jnp.concatenate(
-        [jnp.full((1,), phase, q.dtype), v_mj, q_mj[2:], base_wrt_feet]
-    )
+from .obs import policy_state as _dataset_state  # single source of truth
 
 
 def make_batched_mpc_rollout(
@@ -160,20 +152,22 @@ def make_batched_mpc_rollout(
 
             def ctrl_step(sx, inp):
                 q_d, v_d, ff = inp
-                st, rec = sx, None
+                st = sx
                 tau = (
                     ff
                     + Kp * (q_d[6:] - st.q[6:])
                     + Kd * (v_d[6:] - st.v[6:])
                 )
                 tau = jnp.clip(tau, -tl, tl)
+                # record (s_t, a_t) BEFORE stepping — same alignment as the
+                # host recorder (record() runs before mj_step)
+                state44 = _dataset_state(spec, st.q, st.v)
+                action = (tau + kd_action * st.v[6:]) / Kp + st.q[6:]
                 new = jax_sim.step(
                     plant_spec, st, tau, terrain.contact, sim_dt,
                     ground_height=terrain.ground_height,
                 )
-                state44 = _dataset_state(spec, new.q, new.v)
-                action = (tau + kd_action * new.v[6:]) / Kp + new.q[6:]
-                return new, (new.q, new.v, state44, action, tau)
+                return new, (st.q, st.v, state44, action, tau)
 
             st0 = jax_sim.SimState(x[:18], x[18:], jnp.asarray(0.0, x.dtype))
             st_end, recs = jax.lax.scan(ctrl_step, st0, (q_plan, v_plan, tau_ff))

@@ -57,41 +57,47 @@ class BehavioralCloning:
 
     # ------------------------------------------------------------------
     def _make_step(self, net, tx):
-        def loss_fn(params, batch_stats, x, y, train):
+        has_dropout = getattr(net, "dropout_rate", 0.0) > 0.0
+
+        def loss_fn(params, batch_stats, x, y, train, rng):
             variables = {"params": params}
             if batch_stats is not None:
                 variables["batch_stats"] = batch_stats
-            if batch_stats is not None and train:
+            rngs = {"dropout": rng} if (has_dropout and train) else None
+            if train and (batch_stats is not None or has_dropout):
+                mutable = ["batch_stats"] if batch_stats is not None else []
                 out, updates = net.apply(
-                    variables, x, train=True, mutable=["batch_stats"]
+                    variables, x, train=True, mutable=mutable, rngs=rngs
                 )
-                new_stats = updates["batch_stats"]
+                new_stats = updates.get("batch_stats", batch_stats)
             else:
                 out = net.apply(variables, x, train=False)
                 new_stats = batch_stats
             loss = jnp.mean(jnp.abs(out - y))  # L1 (test_train_policy.py:109)
             return loss, new_stats
 
-        def train_epoch(params, batch_stats, opt_state, xb, yb):
+        def train_epoch(params, batch_stats, opt_state, xb, yb, rng):
             """xb, yb: (n_batches, B, d) pre-gathered batches; one scan."""
 
             def step(carry, batch):
-                params, batch_stats, opt_state = carry
+                params, batch_stats, opt_state, rng = carry
                 x, y = batch
+                rng, sub = jax.random.split(rng)
                 (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                    params, batch_stats, x, y, True
+                    params, batch_stats, x, y, True, sub
                 )
                 updates, opt_state = tx.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
-                return (params, new_stats, opt_state), loss
+                return (params, new_stats, opt_state, rng), loss
 
-            (params, batch_stats, opt_state), losses = jax.lax.scan(
-                step, (params, batch_stats, opt_state), (xb, yb)
+            (params, batch_stats, opt_state, _), losses = jax.lax.scan(
+                step, (params, batch_stats, opt_state, rng), (xb, yb)
             )
             return params, batch_stats, opt_state, jnp.mean(losses)
 
         def eval_loss(params, batch_stats, x, y):
-            loss, _ = loss_fn(params, batch_stats, x, y, False)
+            loss, _ = loss_fn(params, batch_stats, x, y, False,
+                              jax.random.PRNGKey(0))
             return loss
 
         return jax.jit(train_epoch), jax.jit(eval_loss)
@@ -158,8 +164,9 @@ class BehavioralCloning:
             idx = rng.choice(train_idx, size=(n_batches, cfg.batch_size), p=p_train)
             xb = Xd[jnp.asarray(idx)]
             yb = Yd[jnp.asarray(idx)]
+            key, epoch_key = jax.random.split(key)
             params, batch_stats, opt_state, train_loss = train_epoch(
-                params, batch_stats, opt_state, xb, yb
+                params, batch_stats, opt_state, xb, yb, epoch_key
             )
             val_loss = eval_loss(params, batch_stats, Xval, Yval)
             rec = dict(

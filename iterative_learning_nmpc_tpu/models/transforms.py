@@ -61,8 +61,9 @@ def convert_to_mujoco(q: jax.Array, v: jax.Array):
 
 
 def v_global_to_local(q: jax.Array, v: jax.Array) -> jax.Array:
-    """Rotate the base linear velocity into the base frame (used for the
-    44-dim policy state assembly; reference `transform.py:164-216` adjoint)."""
+    """Rotate the base linear velocity into the base frame (utility mirroring
+    the reference's global->local adjoint, `transform.py:164-216`; the 44-dim
+    policy state itself uses raw MuJoCo-chart velocities — learning/obs.py)."""
     R_WB = ypr_to_matrix(q[..., 3:6])
     v_loc = jnp.einsum("...ji,...j->...i", R_WB, v[..., :3])
     return jnp.concatenate([v_loc, v[..., 3:]], axis=-1)

@@ -75,26 +75,4 @@ class AcyclicMPC(LocomotionMPC):
             step_height=self.config_gait.step_height + self._ground,
             ground_height=self._ground,
         )
-        if self._X_prev is None:
-            X_prev, U_prev = jax.jit(self.solver.cold_start)(params)
-            lam_prev = np.zeros((N, 18), np.float32)
-            shift = 0
-        else:
-            X_prev, U_prev = self._X_prev, self._U_prev
-            lam_prev = self._lam_prev
-            shift = node - self.last_node
-        n_iter = (
-            self.config_opt.max_iter_first if self.first_solve
-            else self.config_opt.max_iter
-        )
-        out = self._plan_jit(X_prev, U_prev, lam_prev, jnp.asarray(shift), params, n_iter)
-        X, U, lam, q_plan, v_plan, a_plan, f_plan, tau_ff, stats = jax.block_until_ready(out)
-        self._X_prev, self._U_prev, self._lam_prev = X, U, lam
-        self.last_node = node
-        if not np.isfinite(np.asarray(stats.cost)):
-            raise RuntimeError(f"solver diverged: {stats}")
-        return (
-            np.asarray(q_plan, np.float64), np.asarray(v_plan, np.float64),
-            np.asarray(a_plan, np.float64), np.asarray(f_plan, np.float64),
-            np.asarray(tau_ff, np.float64),
-        )
+        return self._solve_plan(params, node)

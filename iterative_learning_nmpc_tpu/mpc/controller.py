@@ -119,6 +119,7 @@ class LocomotionMPC:
         self.n_interp_plan = round(self.config_opt.time_horizon / sim_dt)
 
         self._build_plan_fn()
+        self._com_jit = jax.jit(lambda q: dyn.com_position(spec, q))
         self.reset(reset_solver=False)
 
     # ------------------------------------------------------------------
@@ -223,7 +224,8 @@ class LocomotionMPC:
         R_WB = tnp.ypr_to_matrix(np.array([self.base_ref_vel_tracking[3], 0.0, 0.0]))
         v_des_glob = np.round(R_WB @ self.v_des, 1)
         base_ref[6:9] = v_des_glob
-        base_ref[9:12] = self.w_des  # [wz(yaw rate), wy, wx] chart rates
+        # chart angular slots are [yaw, pitch, roll] rates; w_des is [wx, wy, wz]
+        base_ref[9:12] = self.w_des[::-1]
 
         base_ref_e = base_ref.copy()
         R_yaw = tnp.ypr_to_matrix(np.array([self.w_des[2] * t_horizon, 0.0, 0.0]))
@@ -291,9 +293,10 @@ class LocomotionMPC:
         cnt_loc = None
         if self.restrict_cnt:
             if self._contact_planner_str.lower() == "raibert":
-                com_xyz = np.asarray(dyn.com_position(self.spec, jnp.asarray(q)))
+                com_xyz = np.asarray(self._com_jit(np.asarray(q, np.float32)))
+                # planner expects the chart's [yaw, pitch, roll] ordering
                 self.contact_planner.set_state(
-                    q[:3], v[:3], q[3:6][::-1], com_xyz, self.v_des, self.w_des[2]
+                    q[:3], v[:3], q[3:6], com_xyz, self.v_des, self.w_des[2]
                 )
             cnt_loc = self.contact_planner.get_locations(node, N + 1)
             base_ref, base_ref_e = self.compute_base_ref_cnt_restricted(q, cnt_loc)
@@ -323,6 +326,12 @@ class LocomotionMPC:
             ground_height=self._ground,
         )
 
+        return self._solve_plan(params, node)
+
+    def _solve_plan(self, params, node):
+        """Warm start (primal + AL duals), solve, interpolate — the shared
+        tail of every replan (also used by AcyclicMPC)."""
+        N = self.config_opt.n_nodes
         if self._X_prev is None:
             X_prev, U_prev = jax.jit(self.solver.cold_start)(params)
             lam_prev = np.zeros((N, 18), np.float32)

@@ -144,18 +144,11 @@ def make_batched_policy_rollout(
     """
     cp = default_contact_params()
 
-    def policy_input(q, v, v_des):
-        p_feet = dyn.foot_positions(spec, q)
-        from ..models.transforms import convert_to_mujoco
-
-        q_mj, v_mj = convert_to_mujoco(q, v)
-        base_wrt_feet = (q_mj[None, :3] - p_feet)[:, :2].reshape(-1)
-        state = jnp.concatenate([jnp.zeros(1, q.dtype), v_mj, q_mj[2:], base_wrt_feet])
-        return jnp.concatenate([state, v_des])
+    from ..learning.obs import policy_input
 
     def one_env(q0, v0, v_des):
         def body(state, _):
-            x = policy_input(state.q, state.v, v_des)
+            x = policy_input(spec, state.q, state.v, v_des)
             target = apply_fn(x)
             tau = kp * (target - state.q[6:]) - kd * state.v[6:]
             new = step(spec, state, tau, cp, dt)

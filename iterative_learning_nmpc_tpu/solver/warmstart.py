@@ -19,19 +19,15 @@ import jax
 import jax.numpy as jnp
 
 from ..models import dynamics as dyn
-from ..models.transforms import convert_to_mujoco
 from ..ocp.problem import OCPParams
 from ..robots.spec import RobotSpec
 
 
+from ..learning.obs import policy_input as _obs_policy_input
+
+
 def _policy_input(spec, q, v, v_des):
-    q_mj, v_mj = convert_to_mujoco(q, v)
-    p_feet = dyn.foot_positions(spec, q)
-    base_wrt_feet = (q_mj[None, :3] - p_feet)[:, :2].reshape(-1)
-    state = jnp.concatenate(
-        [jnp.zeros(1, q.dtype), v_mj, q_mj[2:], base_wrt_feet]
-    )
-    return jnp.concatenate([state, v_des])
+    return _obs_policy_input(spec, q, v, v_des)
 
 
 def policy_warmstart(

@@ -38,3 +38,20 @@ def test_go2_trot_survives_push(go2):
     res = sim.run(sim_time=1.6, controller=mpc, force_schedule=push)
     assert not res.fell, f"robot fell after push: {res}"
     assert 0.2 < sim.data.qpos[2] < 0.4
+
+
+@pytest.mark.slow
+def test_go2_trot_turning(go2):
+    """Yaw-rate command turns the robot (regression: w_des ordering bug put
+    the yaw rate in the roll-rate reference slot)."""
+    from iterative_learning_nmpc_tpu.models import transforms_np as tnp
+
+    sim = Simulator(go2)
+    mpc = LocomotionMPC(go2, gait_name="trot", solve_async=False)
+    mpc.set_command(np.array([0.2, 0.0, 0.0]), w_yaw=0.4)
+    res = sim.run(sim_time=2.0, controller=mpc)
+    assert not res.fell
+    ypr = tnp.matrix_to_ypr(tnp.quat_wxyz_to_matrix(sim.data.qpos[3:7]))
+    # turned substantially in the commanded direction
+    assert ypr[0] > 0.4, ypr
+    assert abs(ypr[1]) < 0.3 and abs(ypr[2]) < 0.3

@@ -187,3 +187,24 @@ def test_nullspace_perturbation(go2, rng):
     vf = np.asarray(dyn.foot_velocities(go2, jnp.asarray(qp, jnp.float32),
                                         jnp.asarray(vp, jnp.float32)))
     assert np.abs(vf[[0, 3]]).max() < 0.15
+
+
+def test_bc_training_with_dropout(tmp_path, rng):
+    """Dropout-variant training runs and learns (regression: missing dropout
+    rngs crashed / silently disabled dropout)."""
+    n = 256
+    states = rng.normal(size=(n, 44))
+    states[:, 0] = 0.0
+    goals = rng.normal(size=(n, 3))
+    actions = np.concatenate([states, goals], axis=1) @ rng.normal(size=(47, 12)) * 0.2
+    db = Database(limit=1024, goal_type="vc", norm_input=False)
+    db.append(states, actions, vc_goals=goals)
+    cfg = TrainConfig(n_epochs=15, batch_size=64, hidden_dim=64,
+                      num_hidden_layer=2, learning_rate=1e-3,
+                      batch_norm=False, dropout_rate=0.2,
+                      save_dir=str(tmp_path), run_name="drop", ckpt_every=10)
+    bc = BehavioralCloning(cfg)
+    path = bc.run(db)
+    assert os.path.exists(path)
+    losses = [m["train_loss"] for m in bc.metrics]
+    assert losses[-1] < losses[0]
