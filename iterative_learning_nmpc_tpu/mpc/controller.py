@@ -139,7 +139,7 @@ class LocomotionMPC:
             sol = solver.solve(X_ws, U_ws, params, n_iter)
             lam_new = solver.update_multipliers(sol.X, sol.U, params)
             q_plan, v_plan, id_rep = interpolate_plan(
-                sol.q, sol.v, sol.a, params.dt, n_interp
+                sol.q, sol.v, sol.a, sol.dt_sol(params.dt), n_interp
             )
             a_plan = sol.a[id_rep]
             f_plan = sol.f[id_rep]

@@ -87,6 +87,12 @@ class Weights:
     torque: jax.Array        # ()
     mu: jax.Array            # () friction coefficient
     total_weight: jax.Array  # () m_total * g, for the force-reg reference
+    # per-node dt optimization (active only when the input carries a dt slot)
+    dt_nom: jax.Array        # () nominal node duration
+    dt_min: jax.Array        # ()
+    dt_max: jax.Array        # ()
+    dt_reg: jax.Array        # () sqrt(time_opt weight)
+    dt_bound: jax.Array      # () sqrt of the bound-hinge weight
 
 
 def make_weights(
@@ -99,7 +105,15 @@ def make_weights(
     npd = np.dtype(jnp.dtype(dtype).name)
     sq = lambda w: np.sqrt(np.asarray(w, dtype=npd))
     total_w = 0.0 if spec is None else 9.81 * float(np.asarray(spec.mass).sum())
+    dt_nom = opt.get_dt_nodes()
+    dt_min, dt_max = opt.get_dt_bounds()
+    time_opt_w = float(np.atleast_1d(np.asarray(cost.time_opt))[0])
     return Weights(
+        dt_nom=np.asarray(dt_nom, npd),
+        dt_min=np.asarray(dt_min, npd),
+        dt_max=np.asarray(dt_max, npd),
+        dt_reg=sq(time_opt_w),
+        dt_bound=sq(1.0e8),
         total_weight=np.asarray(total_w, dtype=npd),
         base=sq(cost.W_base),
         base_e=sq(cost.W_e_base),
@@ -124,13 +138,25 @@ def split_state(x):
 
 
 def split_input(u):
+    """(a, f) from the input vector; ignores an optional trailing dt slot."""
     return u[:18], u[18:30].reshape(N_FOOT, 3)
 
 
+def input_dt(u, dt_nominal):
+    """The node duration: the optional 31st input when present, else the
+    nominal schedule value (reference enable_time_opt,
+    config_abstract.py:49-52)."""
+    if u.shape[-1] > NU:
+        return u[..., NU]
+    return dt_nominal
+
+
 def dynamics_step(x: jax.Array, u: jax.Array, dt) -> jax.Array:
-    """Exact double-integrator step in the chart."""
+    """Double-integrator step in the chart; exact for fixed dt, bilinear
+    (dt*a products) when dt is the optimized 31st input."""
     q, v = split_state(x)
     a, _ = split_input(u)
+    dt = input_dt(u, dt)
     v2 = v + dt * a
     q2 = q + dt * v + 0.5 * dt * dt * a
     return jnp.concatenate([q2, v2])
@@ -249,6 +275,15 @@ def stage_residual(
     r_clear = (1.0 - cnt_k) * jnp.maximum(plane_k[:, 2] - p_feet[:, 2], 0.0) * w.swing_clear
 
     parts = [rb, rj, ra, rf, rf_zero, r_swing, r_disp, r_dyn, r_cnt, cone, r_clear]
+
+    if u.shape[-1] > NU:
+        # per-node dt optimization: regularize toward the nominal schedule
+        # (cost `time_opt`, solver.py:124-125) and bound dt via hinges
+        # (opt_dt_scale, config_abstract.py:80-88)
+        dt_k = u[NU]
+        parts.append((dt_k - w.dt_nom)[None] * w.dt_reg)
+        parts.append(jnp.maximum(w.dt_min - dt_k, 0.0)[None] * w.dt_bound)
+        parts.append(jnp.maximum(dt_k - w.dt_max, 0.0)[None] * w.dt_bound)
 
     if include_torque:
         # --- torque limits, from the same RNEA pass (config_abstract.py:67-69) ---

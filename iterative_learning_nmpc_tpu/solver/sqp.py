@@ -71,7 +71,14 @@ class Solution(NamedTuple):
 
     @property
     def f(self):
-        return self.U[:, 18:].reshape(self.U.shape[0], 4, 3)
+        return self.U[:, 18:NU].reshape(self.U.shape[0], 4, 3)
+
+    def dt_sol(self, dt_nominal):
+        """Per-node durations: the optimized 31st input when present, else
+        the nominal schedule (reference solver.py:423-427)."""
+        if self.U.shape[-1] > NU:
+            return self.U[:, NU]
+        return dt_nominal
 
 
 def _stage_residual_z(spec, w, z, cnt, peak, plane, cnt_loc, restrict, base_ref,
@@ -123,23 +130,29 @@ def _linearize_terminal(spec, w, xN, p: OCPParams):
 def _riccati_solve(A, B, Q, R, M, qx_vec, ru_vec, P_N, p_N, defects, lm_reg):
     """Backward sweep + gain computation. Returns (K, kff) per node.
 
-    A, B constant (NX,NX)/(NX,NU); Q (N,NX,NX); R (N,NU,NU); M (N,NX,NU);
-    qx_vec (N,NX); ru_vec (N,NU); defects (N,NX) with
-    x_{k+1} = A x_k + B u_k + d_k in delta coordinates.
+    A (NX,NX) or (N,NX,NX); B (NX,NU) or (N,NX,NU) — per-node dynamics are
+    used by the time-optimization mode. Q (N,NX,NX); R (N,NU,NU);
+    M (N,NX,NU); qx_vec (N,NX); ru_vec (N,NU); defects (N,NX) with
+    x_{k+1} = A_k x_k + B_k u_k + d_k in delta coordinates.
     """
-    eyeu = jnp.eye(B.shape[1], dtype=B.dtype)
+    N = Q.shape[0]
+    if A.ndim == 2:
+        A = jnp.broadcast_to(A[None], (N,) + A.shape)
+    if B.ndim == 2:
+        B = jnp.broadcast_to(B[None], (N,) + B.shape)
+    eyeu = jnp.eye(B.shape[-1], dtype=B.dtype)
 
     def step(carry, inp):
         P, pvec = carry
-        Qk, Rk, Mk, qk, rk, dk = inp
-        PA = P @ A
-        PB = P @ B
-        Qxx = Qk + A.T @ PA
-        Quu = Rk + B.T @ PB + lm_reg * eyeu
-        Qux = Mk.T + B.T @ PA
+        Ak, Bk, Qk, Rk, Mk, qk, rk, dk = inp
+        PA = P @ Ak
+        PB = P @ Bk
+        Qxx = Qk + Ak.T @ PA
+        Quu = Rk + Bk.T @ PB + lm_reg * eyeu
+        Qux = Mk.T + Bk.T @ PA
         Pd = P @ dk + pvec
-        qx = qk + A.T @ Pd
-        qu = rk + B.T @ Pd
+        qx = qk + Ak.T @ Pd
+        qu = rk + Bk.T @ Pd
         L = jnp.linalg.cholesky(Quu)
         K = -jax.scipy.linalg.cho_solve((L, True), Qux)
         kff = -jax.scipy.linalg.cho_solve((L, True), qu)
@@ -149,21 +162,27 @@ def _riccati_solve(A, B, Q, R, M, qx_vec, ru_vec, P_N, p_N, defects, lm_reg):
         return (P_new, p_new), (K, kff)
 
     (_, _), (K, kff) = jax.lax.scan(
-        step, (P_N, p_N), (Q, R, M, qx_vec, ru_vec, defects), reverse=True
+        step, (P_N, p_N), (A, B, Q, R, M, qx_vec, ru_vec, defects), reverse=True
     )
     return K, kff
 
 
 def _forward_delta(A, B, K, kff, defects, dx0, alpha):
-    """Affine rollout of the LQR policy with step scaling alpha."""
+    """Affine rollout of the LQR policy with step scaling alpha.
+    A/B may be constant (2-d) or per-node (3-d)."""
+    N = K.shape[0]
+    if A.ndim == 2:
+        A = jnp.broadcast_to(A[None], (N,) + A.shape)
+    if B.ndim == 2:
+        B = jnp.broadcast_to(B[None], (N,) + B.shape)
 
     def step(dx, inp):
-        Kk, kk, dk = inp
+        Ak, Bk, Kk, kk, dk = inp
         du = alpha * kk + Kk @ dx
-        dx_next = A @ dx + B @ du + alpha * dk
+        dx_next = Ak @ dx + Bk @ du + alpha * dk
         return dx_next, (dx, du)
 
-    dxN, (dX, dU) = jax.lax.scan(step, alpha * dx0, (K, kff, defects))
+    dxN, (dX, dU) = jax.lax.scan(step, alpha * dx0, (A, B, K, kff, defects))
     dX = jnp.concatenate([dX, dxN[None]], axis=0)
     return dX, dU
 
@@ -187,15 +206,11 @@ class TrajOptSolver:
         self.cost = cost
         self.dtype = dtype
         self.N = opt.n_nodes
-        if opt.enable_time_opt:
-            # Per-node dt optimization (reference config_abstract.py:49-52)
-            # requires per-node A/B linearization of the now dt-nonlinear
-            # shooting dynamics; scheduled for the next revision. The
-            # reference's deployed configs run with it disabled as well
-            # (mpc_opt.py has no enable_time_opt override).
-            raise NotImplementedError(
-                "enable_time_opt is not supported yet by the TPU solver"
-            )
+        # per-node dt optimization appends a 31st input (reference
+        # enable_time_opt, config_abstract.py:49-52); the shooting dynamics
+        # then carry bilinear dt*a terms and A/B are linearized per node.
+        self.time_opt = bool(opt.enable_time_opt)
+        self.nu = NU + (1 if self.time_opt else 0)
         self.dt_nodes = opt.get_dt_nodes()
         self.weights = make_weights(opt, cost, spec, dtype=dtype)
         self.A, self.B = dynamics_matrices(self.dt_nodes, dtype)
@@ -248,21 +263,38 @@ class TrajOptSolver:
         defects = self._defects(X, U, p)
         dx0 = p.x0 - X[0]
 
+        if self.time_opt:
+            # dt*a bilinear terms: linearize the shooting dynamics per node
+            Z = jnp.concatenate([X[:-1], U], axis=1)
+
+            def dyn_z(z, dt_nom):
+                return dynamics_step(z[:NX], z[NX:], dt_nom)
+
+            J_dyn = jax.vmap(jax.jacfwd(dyn_z))(Z, p.dt)
+            A_dyn, B_dyn = J_dyn[:, :, :NX], J_dyn[:, :, NX:]
+        else:
+            A_dyn, B_dyn = jnp.asarray(self.A), jnp.asarray(self.B)
+
         if self.opt.riccati_mode == "associative":
             from .parallel_riccati import parallel_riccati as _riccati
         else:
             _riccati = _riccati_solve
         K, kff = _riccati(
-            self.A, self.B, Q, R, M, qx_vec, ru_vec, P_N, p_N, defects,
+            A_dyn, B_dyn, Q, R, M, qx_vec, ru_vec, P_N, p_N, defects,
             jnp.asarray(self.opt.lm_reg, X.dtype),
         )
 
         def candidate(alpha):
-            dX, dU = _forward_delta(self.A, self.B, K, kff, defects, dx0, alpha)
+            dX, dU = _forward_delta(A_dyn, B_dyn, K, kff, defects, dx0, alpha)
             Xc, Uc = X + dX, U + dU
             cost_c = self._total_cost(Xc, Uc, p)
-            # linear dynamics => post-step defects shrink exactly by (1-alpha)
-            merit = cost_c + merit_rho * (1.0 - alpha) * jnp.sum(jnp.abs(defects))
+            if self.time_opt:
+                # bilinear dynamics: evaluate the true post-step defects
+                defects_c = self._defects(Xc, Uc, p)
+                merit = cost_c + merit_rho * jnp.sum(jnp.abs(defects_c))
+            else:
+                # linear dynamics => defects shrink exactly by (1-alpha)
+                merit = cost_c + merit_rho * (1.0 - alpha) * jnp.sum(jnp.abs(defects))
             return Xc, Uc, dU, merit
 
         alphas = jnp.asarray(self.ls_alphas if alphas is None else alphas)
@@ -336,7 +368,10 @@ class TrajOptSolver:
         fz = dyn.GRAVITY * m_tot / n_active
         f = jnp.zeros((self.N, 4, 3), dtype=self.dtype)
         f = f.at[:, :, 2].set(params.cnt[:, :-1].T * fz[:, None])
-        U = jnp.concatenate([jnp.tile(a0[None], (self.N, 1)), f.reshape(self.N, 12)], axis=1)
+        cols = [jnp.tile(a0[None], (self.N, 1)), f.reshape(self.N, 12)]
+        if self.time_opt:
+            cols.append(jnp.full((self.N, 1), self.dt_nodes, self.dtype))
+        U = jnp.concatenate(cols, axis=1)
         return X, U
 
     def shift_warmstart(self, X, U, shift):
