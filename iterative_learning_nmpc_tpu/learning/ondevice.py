@@ -94,15 +94,20 @@ def make_batched_mpc_rollout(
     def params_for(node_i, x, ref_xy_yaw, v_des):
         cnt = cnt_table_dev[jnp.mod(node_i, cycle)]
         peak = peak_table_dev[jnp.mod(node_i, cycle)]
-        # velocity-tracking base reference (device port of mpc.py:210-272,
-        # simplified: yaw-aligned global velocity, integrated position ref)
+        # velocity-tracking base reference (device port of mpc.py:210-272):
+        # terminal ref = integrated goal position + v_des*horizon; the RUNNING
+        # position ref starts at the CURRENT base and leads 75% of the way to
+        # the terminal (mpc.py:262-263) — the lead is what produces the
+        # reference's fast velocity ramp-up.
+        ref_e_xy = ref_xy_yaw[:2] + v_des[:2] * opt.time_horizon
+        run_xy = x[:2] + (ref_e_xy - x[:2]) * 0.75
         base_ref = jnp.zeros(12, x.dtype)
-        base_ref = base_ref.at[0].set(ref_xy_yaw[0])
-        base_ref = base_ref.at[1].set(ref_xy_yaw[1])
+        base_ref = base_ref.at[0].set(run_xy[0])
+        base_ref = base_ref.at[1].set(run_xy[1])
         base_ref = base_ref.at[2].set(nom_h)
         base_ref = base_ref.at[3].set(ref_xy_yaw[2])
         base_ref = base_ref.at[6:9].set(v_des)
-        base_ref_e = base_ref.at[:2].add(v_des[:2] * opt.time_horizon)
+        base_ref_e = base_ref.at[:2].set(ref_e_xy)
         return OCPParams(
             x0=x,
             cnt=jnp.asarray(cnt),

@@ -34,8 +34,10 @@ def test_batched_closed_loop_trot(go2):
     assert float(out.valid.mean()) > 0.9
     z = np.asarray(out.q[:, :, 2])
     assert z.min() > 0.15 and z.max() < 0.45
-    # walks forward
-    assert np.asarray(out.q[:, -1, 0]).mean() > 0.02
+    # walks forward, tracking the 0.3 m/s command to within ~35% even over
+    # this short (ramp-dominated) 0.8 s window
+    mean_vx = np.asarray(out.q[:, -1, 0]).mean() / (out.q.shape[1] * 1e-3)
+    assert mean_vx > 0.2, mean_vx
     # dataset rows are finite and the action encoding is near the joint range
     assert np.isfinite(np.asarray(out.state44)).all()
     act = np.asarray(out.action)
