@@ -114,6 +114,7 @@ def make_batched_mpc_rollout(
             peak=jnp.asarray(peak),
             plane_point=jnp.asarray(plane),
             cnt_loc=jnp.zeros((4, N + 1, 3), x.dtype),
+            patch_radius=jnp.full((4, N + 1), 1.0e3, x.dtype),
             restrict=jnp.asarray(0.0, x.dtype),
             base_ref=base_ref,
             base_ref_e=base_ref_e,

@@ -85,6 +85,9 @@ class MPCOptConfig:
     w_cone: float = 1.0e1       # friction-cone hinge
     w_swing_height: float = 1.0e3  # swing foot above ground hinge
     w_torque: float = 1.0e0     # torque-limit hinge
+    w_patch: float = 1.0e6      # contact-patch-radius hinge (restricted mode;
+                                # cm-scale violations need a stiff penalty to
+                                # dominate the m-scale tracking pull)
 
     def __post_init__(self):
         assert len(self.opt_dt_scale) == 2

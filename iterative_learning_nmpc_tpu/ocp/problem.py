@@ -53,6 +53,9 @@ class OCPParams:
     peak: jax.Array          # (4, N+1)  swing-peak mask
     plane_point: jax.Array   # (4, N+1, 3) contact plane point (z = ground)
     cnt_loc: jax.Array       # (4, N+1, 3) target contact xy (restricted mode)
+    patch_radius: jax.Array  # (4, N+1) allowed distance from cnt_loc (restricted
+                             # mode; the reference's contact-patch `range_radius`,
+                             # solver.py:254-275 / mpc_acyclic.py patch size)
     restrict: jax.Array      # ()  0/1: enable foot-displacement pinning
     base_ref: jax.Array      # (12,) running base reference
     base_ref_e: jax.Array    # (12,) terminal base reference
@@ -85,6 +88,7 @@ class Weights:
     cone: jax.Array          # ()
     swing_clear: jax.Array   # ()
     torque: jax.Array        # ()
+    patch: jax.Array         # () patch-radius hinge
     mu: jax.Array            # () friction coefficient
     total_weight: jax.Array  # () m_total * g, for the force-reg reference
     # per-node dt optimization (active only when the input carries a dt slot)
@@ -129,6 +133,7 @@ def make_weights(
         cone=sq(opt.w_cone),
         swing_clear=sq(opt.w_swing_height),
         torque=sq(opt.w_torque),
+        patch=sq(opt.w_patch),
         mu=np.asarray(opt.mu, dtype=npd),
     )
 
@@ -192,6 +197,7 @@ def stage_residual(
     peak_k: jax.Array,       # (4,)
     plane_k: jax.Array,      # (4, 3)
     cnt_loc_k: jax.Array,    # (4, 3)
+    patch_k: jax.Array,      # (4,) patch radii
     restrict: jax.Array,     # ()
     base_ref: jax.Array,
     joint_ref: jax.Array,
@@ -237,6 +243,14 @@ def stage_residual(
         restrict * cnt_k[:, None] * (p_feet[:, :2] - cnt_loc_k[:, :2])
     ).reshape(-1) * w.foot_disp
 
+    # hard contact-patch restriction: hinge on the distance of an active
+    # foot from the patch center beyond the patch radius (the reference's
+    # acados `range_radius` inequality, solver.py:254-275) — inside the
+    # patch the foot is free; the quadratic r_disp above is the soft pull
+    d_xy = p_feet[:, :2] - cnt_loc_k[:, :2]
+    dist = jnp.sqrt(jnp.sum(d_xy * d_xy, axis=1) + 1.0e-12)
+    r_patch = restrict * cnt_k * jnp.maximum(dist - patch_k, 0.0) * w.patch
+
     # --- whole-body dynamics consistency on the unactuated base rows ---
     # rnea(q,v,a,f)[0:6] == 0 is exactly the centroidal-momentum balance
     # hdot(q,v,a) == contact wrench (same 6 Newton-Euler equations in the
@@ -274,7 +288,8 @@ def stage_residual(
     # --- swing feet stay above the ground plane ---
     r_clear = (1.0 - cnt_k) * jnp.maximum(plane_k[:, 2] - p_feet[:, 2], 0.0) * w.swing_clear
 
-    parts = [rb, rj, ra, rf, rf_zero, r_swing, r_disp, r_dyn, r_cnt, cone, r_clear]
+    parts = [rb, rj, ra, rf, rf_zero, r_swing, r_disp, r_patch, r_dyn, r_cnt,
+             cone, r_clear]
 
     if u.shape[-1] > NU:
         # per-node dt optimization: regularize toward the nominal schedule
@@ -315,6 +330,7 @@ def stage_residual_from_params(spec, w, x, u, p: OCPParams, k: int):
     return stage_residual(
         spec, w, x, u,
         p.cnt[:, k], p.peak[:, k], p.plane_point[:, k], p.cnt_loc[:, k],
+        p.patch_radius[:, k],
         p.restrict, p.base_ref, p.joint_ref, p.step_height, p.lam_eq[k],
     )
 

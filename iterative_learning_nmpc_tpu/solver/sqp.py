@@ -81,11 +81,12 @@ class Solution(NamedTuple):
         return dt_nominal
 
 
-def _stage_residual_z(spec, w, z, cnt, peak, plane, cnt_loc, restrict, base_ref,
-                      joint_ref, step_h, lam=None, include_torque=True):
+def _stage_residual_z(spec, w, z, cnt, peak, plane, cnt_loc, patch, restrict,
+                      base_ref, joint_ref, step_h, lam=None,
+                      include_torque=True):
     x, u = z[:NX], z[NX:]
-    return stage_residual(spec, w, x, u, cnt, peak, plane, cnt_loc, restrict,
-                          base_ref, joint_ref, step_h, lam_k=lam,
+    return stage_residual(spec, w, x, u, cnt, peak, plane, cnt_loc, patch,
+                          restrict, base_ref, joint_ref, step_h, lam_k=lam,
                           include_torque=include_torque)
 
 
@@ -98,23 +99,25 @@ def _linearize_stages(spec, w, X, U, p: OCPParams, include_torque: bool = False)
     N = U.shape[0]
     Z = jnp.concatenate([X[:-1], U], axis=1)  # (N, NX+NU)
 
-    def res_one(z, cnt, peak, plane, cnt_loc, lam):
+    def res_one(z, cnt, peak, plane, cnt_loc, patch, lam):
         return _stage_residual_z(
-            spec, w, z, cnt, peak, plane, cnt_loc,
+            spec, w, z, cnt, peak, plane, cnt_loc, patch,
             p.restrict, p.base_ref, p.joint_ref, p.step_height, lam,
             include_torque=include_torque,
         )
 
-    def res_and_jac(z, cnt, peak, plane, cnt_loc, lam):
-        r = res_one(z, cnt, peak, plane, cnt_loc, lam)
-        J = jax.jacfwd(res_one)(z, cnt, peak, plane, cnt_loc, lam)
+    def res_and_jac(z, cnt, peak, plane, cnt_loc, patch, lam):
+        r = res_one(z, cnt, peak, plane, cnt_loc, patch, lam)
+        J = jax.jacfwd(res_one)(z, cnt, peak, plane, cnt_loc, patch, lam)
         return r, J
 
     cnt_n = p.cnt[:, :N].T        # (N, 4)
     peak_n = p.peak[:, :N].T
     plane_n = p.plane_point[:, :N].transpose(1, 0, 2)   # (N, 4, 3)
     loc_n = p.cnt_loc[:, :N].transpose(1, 0, 2)
-    r, J = jax.vmap(res_and_jac)(Z, cnt_n, peak_n, plane_n, loc_n, p.lam_eq)
+    patch_n = p.patch_radius[:, :N].T                   # (N, 4)
+    r, J = jax.vmap(res_and_jac)(Z, cnt_n, peak_n, plane_n, loc_n, patch_n,
+                                 p.lam_eq)
     return r, J[:, :, :NX], J[:, :, NX:]
 
 
@@ -223,9 +226,9 @@ class TrajOptSolver:
         N = U.shape[0]
         Z = jnp.concatenate([X[:-1], U], axis=1)
 
-        def res_one(z, cnt, peak, plane, cnt_loc, lam):
+        def res_one(z, cnt, peak, plane, cnt_loc, patch, lam):
             return _stage_residual_z(
-                self.spec, self.weights, z, cnt, peak, plane, cnt_loc,
+                self.spec, self.weights, z, cnt, peak, plane, cnt_loc, patch,
                 p.restrict, p.base_ref, p.joint_ref, p.step_height, lam,
             )
 
@@ -233,7 +236,9 @@ class TrajOptSolver:
         peak_n = p.peak[:, :N].T
         plane_n = p.plane_point[:, :N].transpose(1, 0, 2)
         loc_n = p.cnt_loc[:, :N].transpose(1, 0, 2)
-        rs = jax.vmap(res_one)(Z, cnt_n, peak_n, plane_n, loc_n, p.lam_eq)
+        patch_n = p.patch_radius[:, :N].T
+        rs = jax.vmap(res_one)(Z, cnt_n, peak_n, plane_n, loc_n, patch_n,
+                               p.lam_eq)
         r_term = terminal_residual(
             self.spec, self.weights, X[-1], p.peak[:, -1], p.base_ref_e,
             p.joint_ref, p.step_height,
@@ -413,6 +418,7 @@ def make_params(
     peak=None,
     plane_point=None,
     cnt_loc=None,
+    patch_radius=None,
     restrict=0.0,
     base_ref=None,
     base_ref_e=None,
@@ -442,6 +448,10 @@ def make_params(
         plane_point[:, :, 2] = ground_height
     if cnt_loc is None:
         cnt_loc = np.zeros((4, N + 1, 3), np_dtype)
+    if patch_radius is None:
+        # default: unbounded patch (hinge inactive) — restriction then acts
+        # through the quadratic displacement pull only
+        patch_radius = np.full((4, N + 1), 1.0e3, np_dtype)
     if base_ref is None:
         base_ref = np.zeros(12, np_dtype)
     if base_ref_e is None:
@@ -458,6 +468,7 @@ def make_params(
         peak=asnp(peak),
         plane_point=asnp(plane_point),
         cnt_loc=asnp(cnt_loc),
+        patch_radius=asnp(patch_radius),
         restrict=asnp(restrict),
         base_ref=asnp(base_ref),
         base_ref_e=asnp(base_ref_e),

@@ -134,3 +134,46 @@ def test_phase_shift_rollout(go2, tmp_path):
     )
     # perturbed restart may or may not fall; it must at least run and record
     assert out.sim.n_steps > 200
+
+
+@pytest.mark.slow
+def test_acyclic_mpc_with_patches(go2):
+    """AcyclicMPC end-to-end (reference mpc_acyclic.py:8-86): externally
+    supplied contact sequence + patches; one replan; stance feet stay inside
+    the patch radius."""
+    from iterative_learning_nmpc_tpu.models import dynamics as dyn
+    from iterative_learning_nmpc_tpu.mpc.acyclic import AcyclicMPC
+
+    mpc = AcyclicMPC(go2, gait_name="trot", n_sqp_first=15, solve_async=False,
+                     compute_timings=False)
+    N = mpc.config_opt.n_nodes
+    gait, _, _ = get_quadruped_config("trot", "go2")
+    cp = ContactPlanner(go2.feet_frame_names, mpc.solver.dt_nodes, gait)
+    T = 2 * (N + 1)
+    mpc.set_contact_sequence(cp.get_contacts(0, T))
+
+    q0 = np.asarray(go2.q_home, np.float64).copy()
+    p0 = np.asarray(dyn.foot_positions(go2, jnp.asarray(q0)))
+    q0[2] += -p0[0, 2] + float(np.asarray(go2.foot_radius))
+    p_feet = np.asarray(dyn.foot_positions(go2, jnp.asarray(q0)))
+
+    centers = np.zeros((4, T, 3), np.float32)
+    centers[:, :, :2] = p_feet[:, None, :2]
+    rotations = np.zeros((4, T), np.float32)          # yaw-aligned patches
+    sizes = np.full((4, T, 2), 0.06, np.float32)      # 6 cm square -> r=3 cm
+    mpc.set_patches(centers, rotations, sizes)
+
+    mpc.set_command(np.array([0.2, 0.0, 0.0]), 0.0)
+    q_plan, v_plan, a_plan, f_plan, tau_ff = mpc.optimize(q0, np.zeros(18))
+
+    assert q_plan.shape[1] == 18 and np.isfinite(q_plan).all()
+    # node-resolution solution: stance feet inside their patches
+    X = np.asarray(mpc._X_prev)                        # (N+1, 36)
+    feet = np.asarray(
+        jax.vmap(lambda x: dyn.foot_positions(go2, x[:18]))(jnp.asarray(X))
+    )[:, :, :2]
+    cnt = mpc.acyclic_planner.get_sequence(0, N + 1).T  # (N+1, 4)
+    dist = np.linalg.norm(feet - p_feet[None, :, :2], axis=2) * cnt
+    assert dist.max() < 0.03 + 3e-3, dist.max()
+    # plan keeps a sane base height
+    assert np.all(q_plan[:, 2] > 0.18) and np.all(q_plan[:, 2] < 0.42)

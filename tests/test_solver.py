@@ -107,3 +107,45 @@ def test_warmstart_shift_rti(go2, trot_setup):
     cost_ws = float(solver._total_cost(Xw.at[0].set(p1.x0), Uw, p1))
     assert float(sol_rti.stats.cost) < cost_ws
     assert float(sol_rti.stats.cost) < 2.0 * float(sol_full.stats.cost) + 1.0
+
+
+def test_patch_radius_hinge(go2, trot_setup):
+    """Hard contact-patch restriction (reference range_radius,
+    solver.py:254-275): walking trot with patches fixed at the initial
+    footholds — re-landing feet must touch down within the patch radius,
+    while the unrestricted solve steps well beyond it."""
+    gait, opt, cost, solver, q0, x0, solve = trot_setup
+    N = solver.N
+    planner = ContactPlanner(go2.feet_frame_names, solver.dt_nodes, gait)
+    cnt = jnp.asarray(planner.get_contacts(0, N + 1), jnp.float32)
+    base_ref = (
+        jnp.zeros(12).at[:3].set(q0[:3]).at[2].set(gait.nom_height).at[6].set(0.3)
+    )
+    p_feet0 = np.asarray(dyn.foot_positions(go2, q0))
+    cnt_loc = np.zeros((4, N + 1, 3), np.float32)
+    cnt_loc[:, :, :2] = p_feet0[:, None, :2]
+    radius = 0.02
+
+    def solve_with(restrict):
+        params = make_params(
+            solver, x0, cnt, cnt_loc=cnt_loc,
+            patch_radius=np.full((4, N + 1), radius, np.float32),
+            restrict=restrict, base_ref=base_ref,
+            base_ref_e=base_ref.at[0].add(0.3), step_height=gait.step_height,
+        )
+        X, U = solver.cold_start(params)
+        sol = solve(X, U, params, 15)
+        feet = np.asarray(
+            jax.vmap(lambda qq: dyn.foot_positions(go2, qq))(sol.q)
+        )[:, :, :2]                                   # (N+1, 4, 2)
+        dist = np.linalg.norm(feet - cnt_loc.transpose(1, 0, 2)[:, :, :2], axis=2)
+        return sol, dist * np.asarray(cnt).T          # stance nodes only
+
+    sol_tight, dist_tight = solve_with(1.0)
+    sol_free, dist_free = solve_with(0.0)
+
+    assert float(sol_tight.stats.defect) < 1e-4
+    # hinge binds: every stance foot within the patch (+3 mm penalty slack)
+    assert dist_tight.max() < radius + 3e-3, dist_tight.max()
+    # unrestricted, the 0.3 m/s gait steps well past the patches
+    assert dist_free.max() > 2 * radius, dist_free.max()
