@@ -29,6 +29,11 @@ def main():
     ap.add_argument("--pretrain", action="store_true",
                     help="multi-goal omni-directional collection")
     ap.add_argument("--n_goals", type=int, default=5)
+    ap.add_argument("--config", default=None,
+                    help="YAML DataCollectionConfig/PretrainConfig file "
+                         "(overrides tuning flags)")
+    ap.add_argument("--set", dest="overrides", action="append", default=[],
+                    metavar="KEY=VALUE", help="config override (repeatable)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -56,10 +61,17 @@ def main():
         num_perturbations_per_replanning=args.n_perturb,
         seed=args.seed,
     )
-    if args.pretrain:
-        dc = PretrainDataCollection(spec, PretrainConfig(n_goals=args.n_goals, **common))
+    from iterative_learning_nmpc_tpu.utils.config_io import load_config, save_config
+
+    if args.config or args.overrides:
+        cls = PretrainConfig if args.pretrain else DataCollectionConfig
+        cfg = load_config(cls, args.config, overrides=args.overrides)
+    elif args.pretrain:
+        cfg = PretrainConfig(n_goals=args.n_goals, **common)
     else:
-        dc = DataCollection(spec, DataCollectionConfig(**common))
+        cfg = DataCollectionConfig(**common)
+    save_config(cfg, os.path.join(cfg.record_dir, "config.yaml"))
+    dc = (PretrainDataCollection if args.pretrain else DataCollection)(spec, cfg)
     out = dc.run()
     print("dataset written:", out)
 

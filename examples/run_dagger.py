@@ -20,6 +20,10 @@ def main():
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--epochs", type=int, default=15)
     ap.add_argument("--goals", default="0.15,0,0;0,0,0;-0.15,0,0")
+    ap.add_argument("--config", default=None,
+                    help="YAML SafeDaggerConfig file (overrides tuning flags)")
+    ap.add_argument("--set", dest="overrides", action="append", default=[],
+                    metavar="KEY=VALUE", help="config override (repeatable)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -36,14 +40,20 @@ def main():
     )
 
     spec = get_spec(args.robot)
-    goals = [tuple(float(x) for x in g.split(",")) for g in args.goals.split(";")]
-    cfg = SafeDaggerConfig(
-        record_dir=args.record_dir,
-        sim_time=args.sim_time,
-        n_epochs=args.epochs,
-        goals=goals,
-        n_iterations_per_goal=args.iters,
-    )
+    from iterative_learning_nmpc_tpu.utils.config_io import load_config, save_config
+
+    if args.config or args.overrides:
+        cfg = load_config(SafeDaggerConfig, args.config, overrides=args.overrides)
+    else:
+        goals = [tuple(float(x) for x in g.split(",")) for g in args.goals.split(";")]
+        cfg = SafeDaggerConfig(
+            record_dir=args.record_dir,
+            sim_time=args.sim_time,
+            n_epochs=args.epochs,
+            goals=goals,
+            n_iterations_per_goal=args.iters,
+        )
+    save_config(cfg, os.path.join(cfg.record_dir, "config.yaml"))
     pipeline = SafeDaggerPipeline(spec, cfg, initial_policy=args.policy,
                                   initial_dataset=args.dataset)
     final = pipeline.run()

@@ -1,6 +1,11 @@
 """BC training CLI (reference `Behavior_Cloning/examples/test_train_policy.py`).
 
     python examples/train_bc.py --dataset ./data/database_0.hdf5 --epochs 500
+
+YAML config workflow (the reference's hydra `bc_config.yaml`):
+
+    python examples/train_bc.py --dataset d.hdf5 --config cfgs/train.yaml \
+        --set learning_rate=1e-4 --set n_epochs=50
 """
 import argparse
 import os
@@ -19,6 +24,10 @@ def main():
     ap.add_argument("--lr", type=float, default=2e-3)
     ap.add_argument("--warm_start", default=None)
     ap.add_argument("--ood_npz", default=None, help="side OOD validation set")
+    ap.add_argument("--config", default=None,
+                    help="YAML TrainConfig file (overrides tuning flags)")
+    ap.add_argument("--set", dest="overrides", action="append", default=[],
+                    metavar="KEY=VALUE", help="config override (repeatable)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -39,13 +48,21 @@ def main():
         val_db = Database(limit=1_000_000, goal_type="vc")
         val_db.load_from_npz(args.ood_npz)
 
-    cfg = TrainConfig(
-        n_epochs=args.epochs,
-        batch_size=args.batch_size,
-        learning_rate=args.lr,
-        save_dir=args.save_dir,
-        run_name=args.run_name,
-    )
+    if args.config or args.overrides:
+        from iterative_learning_nmpc_tpu.utils.config_io import load_config
+
+        cfg = load_config(TrainConfig, args.config, overrides=args.overrides)
+    else:
+        cfg = TrainConfig(
+            n_epochs=args.epochs,
+            batch_size=args.batch_size,
+            learning_rate=args.lr,
+            save_dir=args.save_dir,
+            run_name=args.run_name,
+        )
+    from iterative_learning_nmpc_tpu.utils.config_io import save_config
+
+    save_config(cfg, os.path.join(cfg.save_dir, f"config_{cfg.run_name}.yaml"))
     bc = BehavioralCloning(cfg)
     path = bc.run(db, val_database=val_db, warm_start_path=args.warm_start)
     print("final policy:", path)
