@@ -23,6 +23,25 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def _shard_map():
+    """jax.shard_map moved out of experimental in v0.8 and renamed check_rep
+    to check_vma; resolve whichever exists and normalize the kwarg."""
+    import functools, inspect
+
+    try:
+        sm = jax.shard_map
+    except AttributeError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map as sm
+
+    kw = "check_vma" if "check_vma" in inspect.signature(sm).parameters else "check_rep"
+
+    @functools.wraps(sm)
+    def wrapped(f, *, mesh, in_specs, out_specs, check_rep=True):
+        return sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs, **{kw: check_rep})
+
+    return wrapped
+
+
 def make_mesh(n_devices: Optional[int] = None, axis_name: str = "dp") -> Mesh:
     devs = jax.devices()
     if n_devices is not None:
@@ -69,7 +88,7 @@ def make_batch_solver(solver, mesh: Mesh, n_iter: int, axis_name: str = "dp"):
 def make_train_step_dp(net, tx, mesh: Mesh, axis_name: str = "dp"):
     """Explicit-collective data-parallel BC train step via shard_map:
     per-shard L1 grads, `psum` over ICI, replicated update."""
-    from jax.experimental.shard_map import shard_map
+    shard_map = _shard_map()
 
     def loss_fn(params, batch_stats, x, y):
         variables = {"params": params}
@@ -106,7 +125,7 @@ def make_train_step_dp(net, tx, mesh: Mesh, axis_name: str = "dp"):
 
 def all_gather_dataset(mesh: Mesh, local_rows, axis_name: str = "dp"):
     """Gather per-shard dataset rows to every device (DAgger aggregation)."""
-    from jax.experimental.shard_map import shard_map
+    shard_map = _shard_map()
 
     def gather(x):
         return jax.lax.all_gather(x, axis_name, tiled=True)
@@ -120,7 +139,7 @@ def all_gather_dataset(mesh: Mesh, local_rows, axis_name: str = "dp"):
 def expert_ratio_psum(mesh: Mesh, is_expert_local, axis_name: str = "dp"):
     """Expert-influence ratio reduced with an explicit psum over the mesh
     (reference metric at `data_collection_locosafedagger.py:219-223`)."""
-    from jax.experimental.shard_map import shard_map
+    shard_map = _shard_map()
 
     def ratio(mask):
         s = jax.lax.psum(jnp.sum(mask), axis_name)
