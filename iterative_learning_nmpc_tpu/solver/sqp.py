@@ -170,6 +170,70 @@ def _riccati_solve(A, B, Q, R, M, qx_vec, ru_vec, P_N, p_N, defects, lm_reg):
     return K, kff
 
 
+def _riccati_solve_structured(h, Q, R, M, qx_vec, ru_vec, P_N, p_N, defects,
+                              lm_reg):
+    """Backward sweep specialized to the constant double-integrator dynamics
+    A = [[I, hI], [0, I]], B = [[h^2/2 I_a], [h I_a]] (force columns of B are
+    zero — forces act through the residuals, not the shooting map).
+
+    Every product with A/B collapses to block scale-adds of P's column/row
+    blocks, eliminating the five dense 36x36 matmuls per node of the generic
+    sweep (`_riccati_solve`, kept as the oracle); only the Cholesky solve and
+    the P update remain dense. Validated against the oracle in
+    tests/test_solver.py::test_structured_riccati_matches_generic.
+    """
+    nu = R.shape[-1]
+    eyeu = jnp.eye(nu, dtype=Q.dtype)
+    half_h2 = 0.5 * h * h
+
+    def step(carry, inp):
+        P, pvec = carry
+        Qk, Rk, Mk, qk, rk, dk = inp
+        Pq, Pv = P[:, :18], P[:, 18:]
+        PA = jnp.concatenate([Pq, h * Pq + Pv], axis=1)            # (36, 36)
+        AtPA = jnp.concatenate([PA[:18], h * PA[:18] + PA[18:]], axis=0)
+        PB_a = half_h2 * Pq + h * Pv                               # (36, 18)
+        BtPA_a = half_h2 * PA[:18] + h * PA[18:]                   # (18, 36)
+        BtPB_aa = half_h2 * PB_a[:18] + h * PB_a[18:]              # (18, 18)
+        Qxx = Qk + AtPA
+        Quu = (Rk + lm_reg * eyeu).at[:18, :18].add(BtPB_aa)
+        Qux = Mk.T.at[:18, :].add(BtPA_a)
+        Pd = P @ dk + pvec
+        qx = qk + jnp.concatenate([Pd[:18], h * Pd[:18] + Pd[18:]])
+        qu = rk.at[:18].add(half_h2 * Pd[:18] + h * Pd[18:])
+        L = jnp.linalg.cholesky(Quu)
+        rhs = jnp.concatenate([Qux, qu[:, None]], axis=1)
+        sol = jax.scipy.linalg.cho_solve((L, True), rhs)
+        K, kff = -sol[:, :-1], -sol[:, -1]
+        P_new = Qxx + Qux.T @ K
+        P_new = 0.5 * (P_new + P_new.T)
+        p_new = qx + Qux.T @ kff
+        return (P_new, p_new), (K, kff)
+
+    (_, _), (K, kff) = jax.lax.scan(
+        step, (P_N, p_N), (Q, R, M, qx_vec, ru_vec, defects), reverse=True
+    )
+    return K, kff
+
+
+def _forward_delta_structured(h, K, kff, defects, dx0, alpha):
+    """Affine rollout specialized to the double-integrator dynamics."""
+    half_h2 = 0.5 * h * h
+
+    def step(dx, inp):
+        Kk, kk, dk = inp
+        du = alpha * kk + Kk @ dx
+        du_a = du[:18]
+        dx_next = jnp.concatenate(
+            [dx[:18] + h * dx[18:] + half_h2 * du_a, dx[18:] + h * du_a]
+        ) + alpha * dk
+        return dx_next, (dx, du)
+
+    dxN, (dX, dU) = jax.lax.scan(step, alpha * dx0, (K, kff, defects))
+    dX = jnp.concatenate([dX, dxN[None]], axis=0)
+    return dX, dU
+
+
 def _forward_delta(A, B, K, kff, defects, dx0, alpha):
     """Affine rollout of the LQR policy with step scaling alpha.
     A/B may be constant (2-d) or per-node (3-d)."""
@@ -220,6 +284,9 @@ class TrajOptSolver:
         import numpy as _np
 
         self.ls_alphas = _np.asarray(opt.ls_alphas, _np.dtype(jnp.dtype(dtype).name))
+        from .linearize import make_const_blocks
+
+        self._jac_const = make_const_blocks(self.weights)
 
     # ---------------- cost/merit ----------------
     def _total_cost(self, X, U, p: OCPParams):
@@ -250,11 +317,27 @@ class TrajOptSolver:
         return X_next - X[1:]
 
     # ---------------- one SQP iteration ----------------
-    def _sqp_iter(self, X, U, p: OCPParams, merit_rho, alphas=None):
+    def _sqp_iter(self, X, U, p: OCPParams, merit_rho, alphas=None,
+                  use_fast_linearize=True):
         w = self.weights
-        r, Jx, Ju = _linearize_stages(
-            self.spec, w, X, U, p, include_torque=self.opt.torque_limit_in_qp
-        )
+        if use_fast_linearize and not self.time_opt:
+            # structure-exploiting assembly: 6-18 RNEA pullbacks + 24 FK
+            # pullbacks per node instead of 66 jacfwd tangents through the
+            # full residual stack (solver/linearize.py). MEASURED (v5e,
+            # B=256): ~12% SLOWER than the jacfwd path on TPU — forward-mode
+            # tangents batch onto the MXU better than the reverse tape —
+            # so this is off by default; kept as the validated option for
+            # latency-bound / non-MXU targets.
+            from .linearize import linearize_stages_fast
+
+            r, Jx, Ju = linearize_stages_fast(
+                self.spec, w, X, U, p, *self._jac_const,
+                include_torque=self.opt.torque_limit_in_qp,
+            )
+        else:
+            r, Jx, Ju = _linearize_stages(
+                self.spec, w, X, U, p, include_torque=self.opt.torque_limit_in_qp
+            )
         rT, JT = _linearize_terminal(self.spec, w, X[-1], p)
 
         Q = jnp.einsum("nri,nrj->nij", Jx, Jx)
@@ -280,17 +363,31 @@ class TrajOptSolver:
         else:
             A_dyn, B_dyn = jnp.asarray(self.A), jnp.asarray(self.B)
 
+        lm = jnp.asarray(self.opt.lm_reg, X.dtype)
+        structured = (not self.time_opt
+                      and self.opt.riccati_mode == "sequential")
         if self.opt.riccati_mode == "associative":
-            from .parallel_riccati import parallel_riccati as _riccati
+            from .parallel_riccati import parallel_riccati
+
+            K, kff = parallel_riccati(
+                A_dyn, B_dyn, Q, R, M, qx_vec, ru_vec, P_N, p_N, defects, lm
+            )
+        elif structured:
+            K, kff = _riccati_solve_structured(
+                self.dt_nodes, Q, R, M, qx_vec, ru_vec, P_N, p_N, defects, lm
+            )
         else:
-            _riccati = _riccati_solve
-        K, kff = _riccati(
-            A_dyn, B_dyn, Q, R, M, qx_vec, ru_vec, P_N, p_N, defects,
-            jnp.asarray(self.opt.lm_reg, X.dtype),
-        )
+            K, kff = _riccati_solve(
+                A_dyn, B_dyn, Q, R, M, qx_vec, ru_vec, P_N, p_N, defects, lm
+            )
 
         def candidate(alpha):
-            dX, dU = _forward_delta(A_dyn, B_dyn, K, kff, defects, dx0, alpha)
+            if structured:
+                dX, dU = _forward_delta_structured(
+                    self.dt_nodes, K, kff, defects, dx0, alpha
+                )
+            else:
+                dX, dU = _forward_delta(A_dyn, B_dyn, K, kff, defects, dx0, alpha)
             Xc, Uc = X + dX, U + dU
             cost_c = self._total_cost(Xc, Uc, p)
             if self.time_opt:
@@ -318,6 +415,7 @@ class TrajOptSolver:
         params: OCPParams,
         n_iter: int,
         merit_rho: float = 1.0e2,
+        use_fast_linearize: bool = False,
     ) -> Solution:
         """Run up to n_iter (static bound) SQP iterations from warm start.
 
@@ -339,7 +437,8 @@ class TrajOptSolver:
         def body(carry):
             i, X, U, _, _, _ = carry
             X, U, cost, step_norm, alpha = self._sqp_iter(
-                X, U, params, merit_rho, alphas=alphas
+                X, U, params, merit_rho, alphas=alphas,
+                use_fast_linearize=use_fast_linearize,
             )
             return (i + 1, X, U, cost, step_norm, alpha)
 

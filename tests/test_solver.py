@@ -149,3 +149,48 @@ def test_patch_radius_hinge(go2, trot_setup):
     assert dist_tight.max() < radius + 3e-3, dist_tight.max()
     # unrestricted, the 0.3 m/s gait steps well past the patches
     assert dist_free.max() > 2 * radius, dist_free.max()
+
+
+def test_structured_riccati_matches_generic(go2, trot_setup):
+    """The double-integrator-specialized sweep == the generic oracle."""
+    from iterative_learning_nmpc_tpu.solver.sqp import (
+        _forward_delta,
+        _forward_delta_structured,
+        _riccati_solve,
+        _riccati_solve_structured,
+    )
+
+    gait, opt, cost, solver, q0, x0, solve = trot_setup
+    N, nx, nu = solver.N, 36, 30
+    rng = np.random.RandomState(7)
+    mk = lambda *s: rng.randn(*s).astype(np.float32)
+    Jq = mk(N, 50, nx)
+    Jr = mk(N, 50, nu)
+    Q = np.einsum("nri,nrj->nij", Jq, Jq) + 1e-3 * np.eye(nx, dtype=np.float32)
+    R = np.einsum("nri,nrj->nij", Jr, Jr) + 1.0 * np.eye(nu, dtype=np.float32)
+    M = 0.1 * np.einsum("nri,nrj->nij", Jq, Jr)
+    qx, ru = mk(N, nx), mk(N, nu)
+    PT = mk(60, nx)
+    P_N = PT.T @ PT + np.eye(nx, dtype=np.float32)
+    p_N = mk(nx)
+    d = 0.01 * mk(N, nx)
+    h = solver.dt_nodes
+    A, B = solver.A, solver.B
+    lm = np.float32(1e-6)
+
+    K0, k0 = jax.jit(_riccati_solve)(
+        jnp.asarray(A), jnp.asarray(B), Q, R, M, qx, ru, P_N, p_N, d, lm)
+    K1, k1 = jax.jit(lambda *a: _riccati_solve_structured(h, *a))(
+        Q, R, M, qx, ru, P_N, p_N, d, lm)
+    scale = float(jnp.max(jnp.abs(K0)))
+    np.testing.assert_allclose(np.asarray(K1), np.asarray(K0), atol=2e-3 * scale)
+    kscale = max(1.0, float(jnp.max(jnp.abs(k0))))
+    np.testing.assert_allclose(np.asarray(k1), np.asarray(k0), atol=2e-3 * kscale)
+
+    dx0 = mk(nx)
+    dX0, dU0 = jax.jit(_forward_delta)(
+        jnp.asarray(A), jnp.asarray(B), K0, k0, d, dx0, 0.7)
+    dX1, dU1 = jax.jit(lambda K, k: _forward_delta_structured(h, K, k, d, dx0, 0.7))(
+        K0, k0)
+    np.testing.assert_allclose(np.asarray(dX1), np.asarray(dX0), atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(dU1), np.asarray(dU0), atol=1e-4, rtol=1e-4)
