@@ -75,10 +75,15 @@ class MPCOptConfig:
     # we keep one fallback candidate as a safeguard).
     ls_alphas: Tuple[float, ...] = (1.0, 0.5, 0.25, 0.1)
     ls_alphas_steady: Tuple[float, ...] = (1.0, 0.25)
-    # Riccati backward sweep: "sequential" (lax.scan, backward-stable,
-    # default) or "associative" (parallel-in-time log-depth scan — faster for
-    # long horizons, ~1e-2 relative fp32 accuracy; exact in f64)
-    riccati_mode: str = "sequential"
+    # Riccati backward sweep:
+    #   "auto"        -> "pallas" on TPU, "sequential" elsewhere
+    #   "sequential"  -> lax.scan of structured/generic steps (backward-stable)
+    #   "pallas"      -> fused whole-sweep TPU kernel for batched solves
+    #                    (ops/riccati_kernel.py; 2.6x the scan at B=256);
+    #                    unbatched solves keep the scan via custom_vmap
+    #   "associative" -> parallel-in-time log-depth scan (long horizons,
+    #                    ~1e-2 relative fp32 accuracy; exact in f64)
+    riccati_mode: str = "auto"
     # Penalty weights for the constraint residuals (quadratic / AL)
     w_dyn: float = 1.0e3        # centroidal dynamics consistency (6,)
     w_contact: float = 1.0e3    # active-contact foot velocity pinning (4,3)

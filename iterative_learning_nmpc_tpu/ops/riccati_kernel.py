@@ -1,0 +1,272 @@
+"""Fused Pallas TPU kernel: the whole Riccati backward sweep in one kernel.
+
+The batched sweep is the QP-solve hot loop (the HPIPM role, SURVEY.md §2.3):
+N sequential nodes of small (36/30-dim) factorizations. XLA executes it as
+~25 x (batched 30x30 Cholesky + triangular solves + small matmuls) with every
+intermediate round-tripping HBM. This kernel runs the ENTIRE sweep with the
+value function resident in VMEM.
+
+Layout: batch-in-lanes. Every matrix is (36, 36, LB): rows on the untiled
+leading dim, columns on sublanes, LB=128 problems on lanes. All compute is
+VPU-elementwise over the batch; there is no dot_general anywhere (the earlier
+Mosaic blockers — batched x batched contractions, dynamic sublane slicing —
+are designed out):
+
+- products with the double-integrator A/B (constant, sparse) are column
+  masks + `pltpu.roll` by 18 sublanes + scale-adds (see
+  sqp._riccati_solve_structured for the math),
+- row/column extractions are masked reductions with keepdims=True (never a
+  transpose: Cholesky operands are symmetric, so column k == row k),
+- Cholesky, forward/back substitution, and the Gram update P <- Qxx - W^T W
+  are fori_loops of full-matrix masked rank-1 updates,
+- the input-Hessian is padded from 30 to 36 with an identity block so every
+  array in the kernel has the same (36, 36, LB) shape.
+
+Per grid step (batch-tile i, node j) the kernel consumes one node's GN
+blocks (streamed HBM->VMEM by the pipeline) and emits (K, kff); the value
+function (P, p) lives in VMEM scratch across the node dimension.
+
+Wired into TrajOptSolver as riccati_mode="pallas" through a
+jax.custom_batching.custom_vmap: unbatched solves keep the sequential scan
+(better latency at B=1), vmapped solves hit this kernel.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NXK = 36          # state dim == padded input dim inside the kernel
+NUK = 30          # true input dim
+LB = 128          # batch lanes per program
+
+
+def _f(x):
+    return x.astype(jnp.float32)
+
+
+def _riccati_kernel(h: float, lm: float, N: int, interpret: bool,
+                    Q_ref, R_ref, MT_ref, qx_ref, ru_ref, dr_ref,
+                    PN_ref, pN_ref, K_ref, kff_ref, P_s, p_s):
+    j = pl.program_id(1)
+    hh = 0.5 * h * h
+
+    roll = (lambda x, s: jnp.roll(x, s, axis=1)) if interpret else (
+        lambda x, s: pltpu.roll(x, s, axis=1))
+
+    @pl.when(j == 0)
+    def _():
+        P_s[...] = PN_ref[...]
+        p_s[...] = pN_ref[...]
+
+    P = P_s[...]                    # (36, 36, L)
+    pcol = p_s[...]                 # (36, 1, L)
+    Q = Q_ref[0]
+    R36 = R_ref[0]                  # (36, 36, L), rows/cols >= 30 are zero
+    MT = MT_ref[0]                  # (36, 36, L): M^T padded, rows = u
+    qx = qx_ref[0]                  # (36, 1, L)
+    ru = ru_ref[0]                  # (36, 1, L), rows >= 30 zero
+    dr = dr_ref[0]                  # (1, 36, L)  defect as a row
+
+    i32 = jnp.int32
+    r2 = jax.lax.broadcasted_iota(i32, (NXK, NXK, 1), 0)   # row index
+    c2 = jax.lax.broadcasted_iota(i32, (NXK, NXK, 1), 1)   # col index
+    rv = jax.lax.broadcasted_iota(i32, (NXK, 1, 1), 0)     # row index, vec
+    cv = jax.lax.broadcasted_iota(i32, (1, NXK, 1), 1)     # col index, row-vec
+
+    # ---- structured products with A = [[I, hI],[0, I]], B = [[hh Ia],[h Ia]]
+    colq = _f(c2 < 18)
+    Pq = P * colq
+    Pv = P - Pq
+    PA = Pq + roll(h * Pq, 18) + Pv                       # P @ A
+    AtPA = jnp.concatenate([PA[:18], h * PA[:18] + PA[18:]], axis=0)
+    PBa = hh * Pq + h * roll(Pv, 18)   # cyclic: -18 == +18 on 36 cols
+    BtPA = hh * PA[:18] + h * PA[18:]                     # (18, 36, L)
+    BtPB = hh * PBa[:18] + h * PBa[18:]                   # (18, 36, L) cols<18
+
+    zeros18 = jnp.zeros_like(BtPA)
+    Qxx = Q + AtPA
+    Quu = (R36
+           + _f((r2 == c2) & (r2 < NUK)) * lm
+           + _f((r2 == c2) & (r2 >= NUK))
+           + jnp.concatenate([BtPB, zeros18], axis=0))
+    Qux = MT + jnp.concatenate([BtPA, zeros18], axis=0)   # rows u, cols x
+
+    Pd = jnp.sum(P * dr, axis=1, keepdims=True) + pcol    # (36, 1, L)
+    qxp = qx + jnp.concatenate([Pd[:18], h * Pd[:18] + Pd[18:]], axis=0)
+    qu = ru + jnp.concatenate(
+        [hh * Pd[:18] + h * Pd[18:], jnp.zeros_like(Pd[18:])], axis=0)
+
+    # ---- masked Cholesky: Quu = L L^T (symmetric rank-1 right-looking) ----
+    def chol_step(k, carry):
+        A, Lm, LT, rsd = carry
+        rowm = _f(r2 == k)
+        colm = _f(c2 == k)
+        pivot = jnp.sum(A * rowm * colm, axis=(0, 1), keepdims=True)
+        rs = jax.lax.rsqrt(jnp.maximum(pivot, 1e-30))
+        ck_col = jnp.sum(A * colm, axis=1, keepdims=True) * _f(rv >= k)
+        ck_row = jnp.sum(A * rowm, axis=0, keepdims=True) * _f(cv >= k)
+        lk_col = ck_col * rs
+        lk_row = ck_row * rs
+        Lm = Lm + lk_col * _f(cv == k)
+        LT = LT + _f(rv == k) * lk_row
+        rsd = rsd + _f(rv == k) * rs
+        A = A - (lk_col * _f(rv > k)) * (lk_row * _f(cv > k))
+        return A, Lm, LT, rsd
+
+    zmat = jnp.zeros_like(Quu)
+    zvec = jnp.zeros_like(qu)
+    _, Lm, LT, rsd = jax.lax.fori_loop(
+        0, NXK, chol_step, (Quu, zmat, zmat, zvec))
+
+    # ---- forward substitution: W = L^{-1} Qux, wf = L^{-1} qu ----
+    def fwd_step(k, carry):
+        RX, RF, WX, WF = carry
+        rowm = _f(r2 == k)
+        rs_k = jnp.sum(rsd * _f(rv == k), axis=0, keepdims=True)    # (1,1,L)
+        ykx = jnp.sum(RX * rowm, axis=0, keepdims=True) * rs_k      # (1,36,L)
+        ykf = jnp.sum(RF * _f(rv == k), axis=0, keepdims=True) * rs_k
+        WX = WX + _f(rv == k) * ykx
+        WF = WF + _f(rv == k) * ykf
+        lcol = jnp.sum(Lm * _f(c2 == k), axis=1, keepdims=True) * _f(rv > k)
+        RX = RX - lcol * ykx
+        RF = RF - lcol * ykf
+        return RX, RF, WX, WF
+
+    _, _, WX, WF = jax.lax.fori_loop(
+        0, NXK, fwd_step, (Qux, qu, zmat, zvec))
+
+    # ---- back substitution: Z = L^{-T} W (outputs only) ----
+    def back_step(t, carry):
+        RX, RF, ZX, ZF = carry
+        k = NXK - 1 - t
+        rowm = _f(r2 == k)
+        rs_k = jnp.sum(rsd * _f(rv == k), axis=0, keepdims=True)
+        xkx = jnp.sum(RX * rowm, axis=0, keepdims=True) * rs_k
+        xkf = jnp.sum(RF * _f(rv == k), axis=0, keepdims=True) * rs_k
+        ZX = ZX + _f(rv == k) * xkx
+        ZF = ZF + _f(rv == k) * xkf
+        ltcol = jnp.sum(LT * _f(c2 == k), axis=1, keepdims=True) * _f(rv < k)
+        RX = RX - ltcol * xkx
+        RF = RF - ltcol * xkf
+        return RX, RF, ZX, ZF
+
+    _, _, ZX, ZF = jax.lax.fori_loop(
+        0, NXK, back_step, (WX, WF, zmat, zvec))
+
+    K_ref[0] = -ZX[:NUK]
+    kff_ref[0] = -ZF[:NUK]
+
+    # ---- value-function update: P <- Qxx - W^T W, p <- qxp - W^T wf ----
+    # (K-free form: Qux^T K = -(L^{-1}Qux)^T (L^{-1}Qux) = -W^T W)
+    def gram_step(jx, carry):
+        C, pc = carry
+        wj = jnp.sum(WX * _f(c2 == jx), axis=1, keepdims=True)      # (36,1,L)
+        rowj = jnp.sum(WX * wj, axis=0, keepdims=True)              # (1,36,L)
+        C = C + _f(r2 == jx) * rowj
+        val = jnp.sum(wj * WF, axis=0, keepdims=True)               # (1,1,L)
+        pc = pc + _f(rv == jx) * val
+        return C, pc
+
+    C, pcorr = jax.lax.fori_loop(0, NXK, gram_step, (zmat, zvec))
+    P_s[...] = Qxx - C
+    p_s[...] = qxp - pcorr
+
+
+def riccati_pallas_batched(h: float, lm: float, Q, R, M, qx_vec, ru_vec,
+                           P_N, p_N, defects, *, interpret: bool = False
+                           ) -> Tuple[jax.Array, jax.Array]:
+    """Batched fused sweep. Shapes (batch-first, true dims):
+    Q (B,N,36,36), R (B,N,30,30), M (B,N,36,30), qx (B,N,36), ru (B,N,30),
+    P_N (B,36,36), p_N (B,36), defects (B,N,36) -> K (B,N,30,36), kff (B,N,30).
+    """
+    B, N = Q.shape[0], Q.shape[1]
+    Bp = -(-B // LB) * LB
+    pad = Bp - B
+
+    def blast(x):
+        # pad trailing batch, move batch to the last axis
+        if pad:
+            x = jnp.concatenate(
+                [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
+        return jnp.moveaxis(x, 0, -1)
+
+    f32 = jnp.float32
+    Qt = blast(Q.astype(f32))                                     # (N,36,36,Bp)
+    Rt = blast(jnp.pad(R.astype(f32), ((0, 0), (0, 0), (0, 6), (0, 6))))
+    Mt = blast(jnp.pad(jnp.swapaxes(M.astype(f32), 2, 3),
+                       ((0, 0), (0, 0), (0, 6), (0, 0))))         # (N,36,36,Bp)
+    qxt = blast(qx_vec.astype(f32)[..., None])                    # (N,36,1,Bp)
+    rut = blast(jnp.pad(ru_vec.astype(f32), ((0, 0), (0, 0), (0, 6)))[..., None])
+    drt = blast(defects.astype(f32)[:, :, None, :])               # (N,1,36,Bp)
+    PNt = blast(P_N.astype(f32))                                  # (36,36,Bp)
+    pNt = blast(p_N.astype(f32)[..., None])                       # (36,1,Bp)
+
+    nb = Bp // LB
+    node = lambda i, j: (N - 1 - j, 0, 0, i)
+    fixed = lambda i, j: (0, 0, i)
+    grid = (nb, N)
+    in_specs = [
+            pl.BlockSpec((1, NXK, NXK, LB), node, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NXK, NXK, LB), node, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NXK, NXK, LB), node, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NXK, 1, LB), node, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NXK, 1, LB), node, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, NXK, LB), node, memory_space=pltpu.VMEM),
+            pl.BlockSpec((NXK, NXK, LB), fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec((NXK, 1, LB), fixed, memory_space=pltpu.VMEM),
+    ]
+    out_specs = [
+            pl.BlockSpec((1, NUK, NXK, LB), node, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NUK, 1, LB), node, memory_space=pltpu.VMEM),
+    ]
+    Kt, kfft = pl.pallas_call(
+        functools.partial(_riccati_kernel, float(h), float(lm), N, interpret),
+        out_shape=[
+            jax.ShapeDtypeStruct((N, NUK, NXK, Bp), f32),
+            jax.ShapeDtypeStruct((N, NUK, 1, Bp), f32),
+        ],
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=[
+            pltpu.VMEM((NXK, NXK, LB), f32),
+            pltpu.VMEM((NXK, 1, LB), f32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(Qt, Rt, Mt, qxt, rut, drt, PNt, pNt)
+    K = jnp.moveaxis(Kt, -1, 0)[:B]                 # (B, N, 30, 36)
+    kff = jnp.moveaxis(kfft[..., 0, :], -1, 0)[:B]  # (B, N, 30)
+    return K, kff
+
+
+def make_riccati_pallas(h: float, lm: float, interpret: bool = False):
+    """custom_vmap wrapper: sequential scan for unbatched solves (latency),
+    the fused kernel when the solve is vmapped over a problem batch."""
+    from ..solver.sqp import _riccati_solve_structured
+
+    @jax.custom_batching.custom_vmap
+    def riccati(Q, R, M, qx_vec, ru_vec, P_N, p_N, defects):
+        return _riccati_solve_structured(
+            h, Q, R, M, qx_vec, ru_vec, P_N, p_N, defects,
+            jnp.asarray(lm, Q.dtype))
+
+    @riccati.def_vmap
+    def _rule(axis_size, in_batched, Q, R, M, qx_vec, ru_vec, P_N, p_N,
+              defects):
+        args = []
+        for x, b in zip((Q, R, M, qx_vec, ru_vec, P_N, p_N, defects),
+                        in_batched):
+            args.append(x if b else jnp.broadcast_to(
+                x[None], (axis_size,) + x.shape))
+        K, kff = riccati_pallas_batched(h, lm, *args, interpret=interpret)
+        return (K, kff), (True, True)
+
+    return riccati

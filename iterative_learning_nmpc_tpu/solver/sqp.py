@@ -287,6 +287,11 @@ class TrajOptSolver:
         from .linearize import make_const_blocks
 
         self._jac_const = make_const_blocks(self.weights)
+        self._riccati_mode = opt.riccati_mode
+        if self._riccati_mode == "auto":
+            self._riccati_mode = (
+                "pallas" if jax.default_backend() == "tpu" else "sequential"
+            )
 
     # ---------------- cost/merit ----------------
     def _total_cost(self, X, U, p: OCPParams):
@@ -365,8 +370,18 @@ class TrajOptSolver:
 
         lm = jnp.asarray(self.opt.lm_reg, X.dtype)
         structured = (not self.time_opt
-                      and self.opt.riccati_mode == "sequential")
-        if self.opt.riccati_mode == "associative":
+                      and self._riccati_mode in ("sequential", "pallas"))
+        if self._riccati_mode == "pallas" and not self.time_opt:
+            # fused whole-sweep TPU kernel; unbatched solves fall back to the
+            # sequential scan via custom_vmap (ops/riccati_kernel.py)
+            if not hasattr(self, "_riccati_pallas"):
+                from ..ops.riccati_kernel import make_riccati_pallas
+
+                self._riccati_pallas = make_riccati_pallas(
+                    self.dt_nodes, self.opt.lm_reg)
+            K, kff = self._riccati_pallas(
+                Q, R, M, qx_vec, ru_vec, P_N, p_N, defects)
+        elif self._riccati_mode == "associative":
             from .parallel_riccati import parallel_riccati
 
             K, kff = parallel_riccati(
