@@ -84,6 +84,13 @@ class MPCOptConfig:
     #   "associative" -> parallel-in-time log-depth scan (long horizons,
     #                    ~1e-2 relative fp32 accuracy; exact in f64)
     riccati_mode: str = "auto"
+    # Stage linearization:
+    #   "auto"   -> "dynjac" on TPU, "jacfwd" elsewhere
+    #   "dynjac" -> fused Pallas dynamics+Jacobian kernel
+    #               (ops/dynjac_kernel.py; ~0.1 ms vs ~36 ms at B=256, N=25)
+    #   "jacfwd" -> 66 forward tangents through the residual stack
+    #   "jacrev" -> structure-exploiting assembly with reverse-mode core
+    linearize_mode: str = "auto"
     # Penalty weights for the constraint residuals (quadratic / AL)
     w_dyn: float = 1.0e3        # centroidal dynamics consistency (6,)
     w_contact: float = 1.0e3    # active-contact foot velocity pinning (4,3)

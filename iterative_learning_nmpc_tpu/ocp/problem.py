@@ -204,6 +204,7 @@ def stage_residual(
     step_height: jax.Array,
     lam_k: jax.Array = None,   # (18,) AL multipliers (weighted space)
     include_torque: bool = True,
+    core: Tuple[jax.Array, jax.Array, jax.Array] = None,
 ) -> jax.Array:
     """All running residuals for one node, concatenated (static length).
 
@@ -213,6 +214,11 @@ def stage_residual(
     but differentiating it costs a full RNEA tangent sweep per node. The
     merit function (full residual) still penalizes violations, so the line
     search rejects steps that would activate the limits.
+
+    `core`, when given, is precomputed (p_feet (4,3), v_feet (4,3),
+    tau_full (18)) — e.g. from the fused dynamics+Jacobian kernel
+    (ops/dynjac_kernel.py) — and replaces the FK/RNEA evaluations here, so
+    this function stays the single source of truth for the row layout.
     """
     q, v = split_state(x)
     a, f = split_input(u)
@@ -231,8 +237,11 @@ def stage_residual(
     # the dynamics anyway; this keeps the GN input-Hessian well conditioned)
     rf_zero = ((1.0 - cnt_k[:, None]) * f).reshape(-1)
 
-    p_feet = dyn.foot_positions(spec, q)
-    v_feet = dyn.foot_velocities(spec, q, v)
+    if core is None:
+        p_feet = dyn.foot_positions(spec, q)
+        v_feet = dyn.foot_velocities(spec, q, v)
+    else:
+        p_feet, v_feet = core[0], core[1]
 
     # swing-peak height cost: peak * (z - step_height)  (dynamics.py:132-134)
     r_swing = peak_k * (p_feet[:, 2] - step_height) * w.swing
@@ -257,7 +266,8 @@ def stage_residual(
     # chart basis); ONE shared RNEA pass also yields the joint torques for
     # the torque-limit rows — this replaces the reference's separate
     # h-dynamics constraint + CasADi torque expressions.
-    tau_full = dyn.rnea(spec, q, v, a, f_ext_feet=f_eff)
+    tau_full = (dyn.rnea(spec, q, v, a, f_ext_feet=f_eff)
+                if core is None else core[2])
     r_dyn = tau_full[:6] * w.dyn_cons
     if lam_k is not None:
         r_dyn = r_dyn + lam_k[:6]

@@ -74,7 +74,6 @@ def linearize_stage_fast(spec, w: Weights, x, u, cnt_k, peak_k, plane_k,
                          Jx_const, Ju_const, include_torque: bool = True):
     """(Jx, Ju) for one node, rows ordered exactly as
     ocp.problem.stage_residual (no dt slot)."""
-    dtype = x.dtype
     q, v = split_state(x)
     a, f = split_input(u)
     f_eff = cnt_k[:, None] * f
@@ -88,6 +87,7 @@ def linearize_stage_fast(spec, w: Weights, x, u, cnt_k, peak_k, plane_k,
 
     Jt_x, Jt_a, Jt_f = jax.jacrev(tau_rows, argnums=(0, 1, 2))(x, a, f_eff)
     tau = tau_rows(x, a, f_eff)
+    Jt_f = Jt_f.reshape(n_tau, 12)
 
     def pv(x_):
         q_, v_ = split_state(x_)
@@ -95,8 +95,26 @@ def linearize_stage_fast(spec, w: Weights, x, u, cnt_k, peak_k, plane_k,
 
     Jp, Jvf = jax.jacrev(pv)(x)          # (4, 3, NX) each
     p_feet = dyn.foot_positions(spec, q)
+    return assemble_stage_jacobian(
+        spec, w, x, u, cnt_k, peak_k, plane_k, cnt_loc_k, patch_k, restrict,
+        p_feet, tau, Jp, Jvf, Jt_x, Jt_a, Jt_f, Jx_const, Ju_const,
+        include_torque,
+    )
 
-    zeros_u3 = jnp.zeros((N_FOOT, 3, NU), dtype)
+
+def assemble_stage_jacobian(spec, w: Weights, x, u, cnt_k, peak_k, plane_k,
+                            cnt_loc_k, patch_k, restrict,
+                            p_feet, tau, Jp, Jvf, Jt_x, Jt_a, Jt_f,
+                            Jx_const, Ju_const, include_torque: bool):
+    """Assemble (Jx, Ju) from the dynamics core and its Jacobians.
+
+    Jp/Jvf: (4, 3, NX); Jt_x: (n_tau, NX); Jt_a: (n_tau, 18);
+    Jt_f: (n_tau, 12) wrt f_eff (scaled by cnt below). Shared by the jacrev
+    path above and the fused Pallas kernel path (linearize_stages_dynjac).
+    """
+    dtype = x.dtype
+    f_eff = cnt_k[:, None] * split_input(u)[1]
+    cnt12 = jnp.repeat(cnt_k, 3)
 
     # rf: diag(cnt ⊗ w.f_reg) on the f columns; rf_zero: diag((1-cnt) ⊗ 1)
     f_diag = (cnt_k[:, None] * jnp.asarray(w.f_reg)).reshape(-1)
@@ -123,7 +141,7 @@ def linearize_stage_fast(spec, w: Weights, x, u, cnt_k, peak_k, plane_k,
     # r_dyn: the 6 RNEA base rows; f enters through f_eff = cnt * f
     dyn_Jx = w.dyn_cons * Jt_x[:6]
     dyn_Ju = w.dyn_cons * jnp.concatenate(
-        [Jt_a[:6], (Jt_f[:6] * cnt_k[None, :, None]).reshape(6, 12)], axis=1
+        [Jt_a[:6], Jt_f[:6] * cnt12[None, :]], axis=1
     )
 
     # r_cnt: cnt_i * w.contact_vel * (dvf/dx + [z row] stab_gain_i * dp_z/dx)
@@ -186,8 +204,7 @@ def linearize_stage_fast(spec, w: Weights, x, u, cnt_k, peak_k, plane_k,
         t_scale = (t_act.astype(dtype) * jnp.sign(tau_j) * w.torque)[:, None]
         x_parts.append(t_scale * Jt_x[6:])
         u_parts.append(t_scale * jnp.concatenate(
-            [Jt_a[6:], (Jt_f[6:] * cnt_k[None, :, None]).reshape(12, 12)],
-            axis=1,
+            [Jt_a[6:], Jt_f[6:] * cnt12[None, :]], axis=1,
         ))
     return jnp.concatenate(x_parts), jnp.concatenate(u_parts)
 
@@ -223,4 +240,83 @@ def linearize_stages_fast(spec, w: Weights, X, U, p: OCPParams,
                           p.lam_eq)
     Jx, Ju = jax.vmap(jac_one)(X[:-1], U, cnt_n, peak_n, plane_n, loc_n,
                                patch_n)
+    return r, Jx, Ju
+
+
+def linearize_stages_dynjac(spec, w: Weights, Xb, Ub, pb: OCPParams,
+                            Jx_const, Ju_const, include_torque: bool = True,
+                            interpret: bool = False):
+    """Batched (r, Jx, Ju) via the fused Pallas dynamics+Jacobian kernel.
+
+    Xb (B, N+1, NX), Ub (B, N, NU), pb batched OCPParams -> leading (B, N)
+    outputs. One kernel launch evaluates every (problem, node) pair's
+    FK/RNEA core and exact Jacobian (ops/dynjac_kernel.py — measured ~0.1 ms
+    vs ~36 ms for the XLA jacfwd at B=256, N=25 on v5e); the residual rows
+    and Jacobian assembly reuse the same code as the per-node paths
+    (ocp.problem.stage_residual with core=, assemble_stage_jacobian).
+
+    d(tau)/d(f_eff) is the kinematic-duality block -(d v_foot / d v)^T,
+    taken from the kernel's v_feet Jacobian.
+    """
+    from ..ops.dynjac_kernel import dynjac_pallas
+    from ..ocp.problem import stage_residual
+
+    B, N = Ub.shape[0], Ub.shape[1]
+    X_nodes = Xb[:, :-1].reshape(B * N, NX)
+    A_nodes = Ub[..., :18].reshape(B * N, 18)
+    cnt_n = jnp.swapaxes(pb.cnt[:, :, :N], 1, 2)          # (B, N, 4)
+    f_n = Ub[..., 18:30].reshape(B, N, 4, 3)
+    fe_nodes = (cnt_n[..., None] * f_n).reshape(B * N, 12)
+
+    prim, J = dynjac_pallas(spec, X_nodes, A_nodes, fe_nodes,
+                            interpret=interpret)
+    p_feet = prim[:, :12].reshape(B, N, 4, 3)
+    v_feet = prim[:, 12:24].reshape(B, N, 4, 3)
+    tau = prim[:, 24:].reshape(B, N, 18)
+    Jp = J[:, :12, :NX].reshape(B, N, 4, 3, NX)
+    Jvf = J[:, 12:24, :NX].reshape(B, N, 4, 3, NX)
+    Jt_x = J[:, 24:, :NX].reshape(B, N, 18, NX)
+    Jt_a = J[:, 24:, NX:].reshape(B, N, 18, 18)
+    # duality: d tau / d f_eff_i = -(d v_foot_i / d v)^T
+    Jvf_v = Jvf[..., 18:NX]                                # (B, N, 4, 3, 18)
+    Jt_f = -jnp.swapaxes(Jvf_v, 3, 4)                      # (B, N, 4, 18, 3)
+    Jt_f = jnp.moveaxis(Jt_f, 2, 3).reshape(B, N, 18, 12)
+
+    n_tau = 18 if include_torque else 6
+    peak_n = jnp.swapaxes(pb.peak[:, :, :N], 1, 2)
+    plane_n = jnp.moveaxis(pb.plane_point[:, :, :N], 2, 1)  # (B, N, 4, 3)
+    loc_n = jnp.moveaxis(pb.cnt_loc[:, :, :N], 2, 1)
+    patch_n = jnp.swapaxes(pb.patch_radius[:, :, :N], 1, 2)
+
+    def res_one(x, u, cnt, peak, plane, loc, patch, lam, rstr, bref, jref,
+                sh, core):
+        return stage_residual(
+            spec, w, x, u, cnt, peak, plane, loc, patch, rstr, bref, jref,
+            sh, lam_k=lam, include_torque=include_torque, core=core)
+
+    def jac_one(x, u, cnt, peak, plane, loc, patch, rstr, core_jac):
+        pf, tau_k, jp, jvf, jtx, jta, jtf = core_jac
+        return assemble_stage_jacobian(
+            spec, w, x, u, cnt, peak, plane, loc, patch, rstr,
+            pf, tau_k[:n_tau], jp, jvf, jtx[:n_tau], jta[:n_tau],
+            jtf[:n_tau], Jx_const, Ju_const, include_torque)
+
+    res_nodes = jax.vmap(jax.vmap(
+        res_one, in_axes=(0, 0, 0, 0, 0, 0, 0, 0, None, None, None, None,
+                          (0, 0, 0)),
+    ), in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, (0, 0, 0)))
+    r = res_nodes(
+        Xb[:, :-1], Ub, cnt_n, peak_n, plane_n, loc_n, patch_n, pb.lam_eq,
+        pb.restrict, pb.base_ref, pb.joint_ref, pb.step_height,
+        (p_feet, v_feet, tau),
+    )
+
+    jac_nodes = jax.vmap(jax.vmap(
+        jac_one, in_axes=(0, 0, 0, 0, 0, 0, 0, None,
+                          (0, 0, 0, 0, 0, 0, 0)),
+    ), in_axes=(0, 0, 0, 0, 0, 0, 0, 0, (0, 0, 0, 0, 0, 0, 0)))
+    Jx, Ju = jac_nodes(
+        Xb[:, :-1], Ub, cnt_n, peak_n, plane_n, loc_n, patch_n, pb.restrict,
+        (p_feet, tau, Jp, Jvf, Jt_x, Jt_a, Jt_f),
+    )
     return r, Jx, Ju

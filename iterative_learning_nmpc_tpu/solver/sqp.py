@@ -292,6 +292,11 @@ class TrajOptSolver:
             self._riccati_mode = (
                 "pallas" if jax.default_backend() == "tpu" else "sequential"
             )
+        self._linearize_mode = getattr(opt, "linearize_mode", "auto")
+        if self._linearize_mode == "auto":
+            self._linearize_mode = (
+                "dynjac" if jax.default_backend() == "tpu" else "jacfwd"
+            )
 
     # ---------------- cost/merit ----------------
     def _total_cost(self, X, U, p: OCPParams):
@@ -325,7 +330,9 @@ class TrajOptSolver:
     def _sqp_iter(self, X, U, p: OCPParams, merit_rho, alphas=None,
                   use_fast_linearize=True):
         w = self.weights
-        if use_fast_linearize and not self.time_opt:
+        if self._linearize_mode == "dynjac" and not self.time_opt:
+            r, Jx, Ju = self._get_linearize_dynjac()(X, U, p)
+        elif use_fast_linearize and not self.time_opt:
             # structure-exploiting assembly: 6-18 RNEA pullbacks + 24 FK
             # pullbacks per node instead of 66 jacfwd tangents through the
             # full residual stack (solver/linearize.py). MEASURED (v5e,
@@ -421,6 +428,43 @@ class TrajOptSolver:
         U_new = Us[best]
         step_norm = jnp.max(jnp.abs(dUs[best]))
         return X_new, U_new, merits[best], step_norm, alphas[best]
+
+    def _get_linearize_dynjac(self):
+        """custom_vmap dispatcher to the fused dynamics+Jacobian kernel
+        (ops/dynjac_kernel.py): both the unbatched solve and the vmapped
+        batch route through one kernel launch (nodes alone fill a lane
+        tile, so even B=1 benefits)."""
+        if hasattr(self, "_lin_dynjac"):
+            return self._lin_dynjac
+        from .linearize import linearize_stages_dynjac
+
+        spec, w = self.spec, self.weights
+        inc = self.opt.torque_limit_in_qp
+        Jxc, Juc = self._jac_const
+
+        @jax.custom_batching.custom_vmap
+        def lin(X, U, p):
+            r, Jx, Ju = linearize_stages_dynjac(
+                spec, w, X[None], U[None],
+                jax.tree.map(lambda x: x[None], p), Jxc, Juc,
+                include_torque=inc)
+            return r[0], Jx[0], Ju[0]
+
+        @lin.def_vmap
+        def _rule(axis_size, in_batched, X, U, p):
+            def bc(x, b):
+                return x if b else jnp.broadcast_to(
+                    x[None], (axis_size,) + jnp.shape(x))
+
+            X = bc(X, in_batched[0])
+            U = bc(U, in_batched[1])
+            p = jax.tree.map(bc, p, in_batched[2])
+            out = linearize_stages_dynjac(
+                spec, w, X, U, p, Jxc, Juc, include_torque=inc)
+            return out, (True, True, True)
+
+        self._lin_dynjac = lin
+        return lin
 
     # ---------------- public API ----------------
     def solve(
