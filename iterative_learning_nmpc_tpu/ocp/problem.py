@@ -327,10 +327,12 @@ def terminal_residual(
     base_ref_e: jax.Array,
     joint_ref: jax.Array,
     step_height: jax.Array,
+    p_feet: jax.Array = None,   # (4, 3) precomputed FK (e.g. dyncore kernel)
 ) -> jax.Array:
     q, v = split_state(x)
     rb, rj = _base_joint_residuals(x, base_ref_e, joint_ref, w.base_e, w.joint_e)
-    p_feet = dyn.foot_positions(spec, q)
+    if p_feet is None:
+        p_feet = dyn.foot_positions(spec, q)
     r_swing = peak_k * (p_feet[:, 2] - step_height) * w.swing
     return jnp.concatenate([rb, rj, r_swing])
 

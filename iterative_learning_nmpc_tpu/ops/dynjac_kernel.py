@@ -370,6 +370,70 @@ def _dynjac_kernel(consts, X_ref, A_ref, F_ref, prim_ref, tan_ref):
             tan_ref[row] = jnp.broadcast_to(d.t, (TP, L)).astype(jnp.float32)
 
 
+def _dyncore_kernel(consts, X_ref, A_ref, F_ref, prim_ref):
+    """Primal-only variant of _dynjac_kernel: no tangent seeds, so every
+    dual stays value-only and the D-algebra generates zero tangent ops."""
+    def load(ref, idx):
+        return D(ref[idx])                               # (1, L), no tangent
+
+    q = [load(X_ref, i) for i in range(18)]
+    v = [load(X_ref, 18 + i) for i in range(18)]
+    a = [load(A_ref, i) for i in range(18)]
+    fe = [[load(F_ref, 3 * leg + i) for i in range(3)] for leg in range(4)]
+
+    p_feet, v_feet, tau = _dual_pass(consts, q, v, a, fe)
+
+    out = [c for foot in p_feet for c in foot] + \
+          [c for foot in v_feet for c in foot] + tau
+    L = X_ref.shape[-1]
+    for row, d in enumerate(out):
+        val = d.v if not isinstance(d.v, float) else jnp.zeros((1, 1), jnp.float32)
+        prim_ref[row] = jnp.broadcast_to(val, (1, L)).astype(jnp.float32)
+
+
+def dyncore_pallas(spec, X_nodes, A_nodes, Fe_nodes, *,
+                   interpret: bool = False):
+    """Batched fused primal dynamics evaluation (line-search hot path).
+
+    X_nodes (M, 36), A_nodes (M, 18), Fe_nodes (M, 12) over M independent
+    (node x problem) evaluations -> prim (M, 42) = [p_feet, v_feet, tau].
+    Same VPU pass as dynjac_pallas minus the 54 tangent rows — used for the
+    merit-function residual evaluations where only values are needed.
+    """
+    M = X_nodes.shape[0]
+    Mp = -(-M // LB) * LB
+    pad = Mp - M
+    f32 = jnp.float32
+
+    def prep(x):
+        if pad:
+            x = jnp.concatenate(
+                [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
+        return jnp.moveaxis(x.astype(f32), 0, -1)[:, None, :]   # (d, 1, Mp)
+
+    Xt, At, Ft = prep(X_nodes), prep(A_nodes), prep(Fe_nodes)
+    consts = _make_consts(spec)
+
+    lane = lambda i: (0, 0, i)
+    prim = pl.pallas_call(
+        functools.partial(_dyncore_kernel, consts),
+        out_shape=jax.ShapeDtypeStruct((N_OUT, 1, Mp), f32),
+        grid=(Mp // LB,),
+        in_specs=[
+            pl.BlockSpec((36, 1, LB), lane, memory_space=pltpu.VMEM),
+            pl.BlockSpec((18, 1, LB), lane, memory_space=pltpu.VMEM),
+            pl.BlockSpec((12, 1, LB), lane, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((N_OUT, 1, LB), lane,
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        interpret=interpret,
+    )(Xt, At, Ft)
+    return jnp.moveaxis(prim[:, 0, :], -1, 0)[:M]              # (M, 42)
+
+
 def dynjac_pallas(spec, X_nodes, A_nodes, Fe_nodes, *, interpret: bool = False):
     """Batched fused dynamics+Jacobian evaluation.
 

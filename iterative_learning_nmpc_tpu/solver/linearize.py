@@ -320,3 +320,76 @@ def linearize_stages_dynjac(spec, w: Weights, Xb, Ub, pb: OCPParams,
         (p_feet, tau, Jp, Jvf, Jt_x, Jt_a, Jt_f),
     )
     return r, Jx, Ju
+
+
+def total_cost_dyncore(spec, w: Weights, Xb, Ub, pb: OCPParams,
+                       interpret: bool = False):
+    """Merit/total cost via the fused primal dynamics kernel.
+
+    Xb (..., N+1, NX), Ub (..., N, NU), pb with matching leading dims ->
+    cost (...). All leading dims (line-search alphas, problem batch) are
+    flattened into the kernel's lane dimension, and the terminal node's FK
+    rides along as an extra node with zero inputs — one kernel launch per
+    merit evaluation (ops/dynjac_kernel.py dyncore_pallas). The residual
+    rows reuse ocp.problem.{stage_residual,terminal_residual} with core=,
+    so the merit stays bit-identical in layout to the XLA path.
+    """
+    from ..ops.dynjac_kernel import dyncore_pallas
+    from ..ocp.problem import stage_residual, terminal_residual
+
+    lead = Xb.shape[:-2]
+    L = 1
+    for d in lead:
+        L *= d
+    N = Ub.shape[-2]
+    Xf = Xb.reshape((L, N + 1, NX))
+    Uf = Ub.reshape((L, N, Ub.shape[-1]))
+    pf = jax.tree.map(lambda x: x.reshape((L,) + x.shape[len(lead):]), pb)
+
+    cnt_n = jnp.swapaxes(pf.cnt[:, :, :N], 1, 2)            # (L, N, 4)
+    f_n = Uf[..., 18:30].reshape(L, N, 4, 3)
+    fe = cnt_n[..., None] * f_n                              # (L, N, 4, 3)
+
+    zero_a = jnp.zeros((L, 1, 18), Xf.dtype)
+    zero_f = jnp.zeros((L, 1, 12), Xf.dtype)
+    X_all = Xf.reshape(L * (N + 1), NX)
+    A_all = jnp.concatenate([Uf[..., :18], zero_a], axis=1).reshape(-1, 18)
+    Fe_all = jnp.concatenate([fe.reshape(L, N, 12), zero_f],
+                             axis=1).reshape(-1, 12)
+    prim = dyncore_pallas(spec, X_all, A_all, Fe_all,
+                          interpret=interpret).reshape(L, N + 1, 42)
+    p_feet = prim[:, :N, :12].reshape(L, N, 4, 3)
+    v_feet = prim[:, :N, 12:24].reshape(L, N, 4, 3)
+    tau = prim[:, :N, 24:]
+    p_feet_T = prim[:, N, :12].reshape(L, 4, 3)
+
+    peak_n = jnp.swapaxes(pf.peak[:, :, :N], 1, 2)
+    plane_n = jnp.moveaxis(pf.plane_point[:, :, :N], 2, 1)
+    loc_n = jnp.moveaxis(pf.cnt_loc[:, :, :N], 2, 1)
+    patch_n = jnp.swapaxes(pf.patch_radius[:, :, :N], 1, 2)
+
+    def res_one(x, u, cnt, peak, plane, loc, patch, lam, rstr, bref, jref,
+                sh, core):
+        return stage_residual(
+            spec, w, x, u, cnt, peak, plane, loc, patch, rstr, bref, jref,
+            sh, lam_k=lam, include_torque=True, core=core)
+
+    res_nodes = jax.vmap(jax.vmap(
+        res_one, in_axes=(0, 0, 0, 0, 0, 0, 0, 0, None, None, None, None,
+                          (0, 0, 0)),
+    ), in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, (0, 0, 0)))
+    r = res_nodes(
+        Xf[:, :-1], Uf, cnt_n, peak_n, plane_n, loc_n, patch_n, pf.lam_eq,
+        pf.restrict, pf.base_ref, pf.joint_ref, pf.step_height,
+        (p_feet, v_feet, tau),
+    )
+
+    r_term = jax.vmap(
+        lambda x, peak, bref_e, jref, sh, pfT: terminal_residual(
+            spec, w, x, peak, bref_e, jref, sh, p_feet=pfT)
+    )(Xf[:, -1], pf.peak[:, :, -1], pf.base_ref_e, pf.joint_ref,
+      pf.step_height, p_feet_T)
+
+    cost = 0.5 * jnp.sum(r * r, axis=(1, 2)) + 0.5 * jnp.sum(
+        r_term * r_term, axis=1)
+    return cost.reshape(lead)

@@ -98,3 +98,44 @@ def test_linearize_stages_dynjac_matches_oracle():
         scale = float(jnp.max(jnp.abs(a0)))
         np.testing.assert_allclose(np.asarray(a1), np.asarray(a0),
                                    atol=1e-4 * scale, err_msg=name)
+
+
+def test_total_cost_dyncore_matches_oracle():
+    """Fused primal-kernel merit (2 leading dims: alphas x batch) vs the
+    XLA residual-stack cost."""
+    from iterative_learning_nmpc_tpu.mpc.config import get_quadruped_config
+    from iterative_learning_nmpc_tpu.solver import sqp as S
+    from iterative_learning_nmpc_tpu.solver.linearize import total_cost_dyncore
+
+    gait, opt, cost = get_quadruped_config("trot", "go2")
+    spec = go2_spec()
+    solver = S.TrajOptSolver(spec, opt, cost)
+    rng = np.random.RandomState(11)
+    A_, B_, N = 2, 3, solver.N
+    q0 = np.asarray(spec.q_home, np.float32)
+    X = np.tile(np.concatenate([q0, np.zeros(18, np.float32)])[None, None, None],
+                (A_, B_, N + 1, 1))
+    X += 0.05 * rng.randn(A_, B_, N + 1, 36).astype(np.float32)
+    U = 0.3 * rng.randn(A_, B_, N, 30).astype(np.float32)
+    U[..., 20::3] += 30.0
+
+    def mk_params(b):
+        cnt = (rng.rand(4, N + 1) > 0.4).astype(np.float32)
+        return S.make_params(
+            solver, X[0, b, 0], cnt,
+            lam_eq=0.1 * rng.randn(N, 18).astype(np.float32),
+        )
+
+    plist = [mk_params(b) for b in range(B_)]
+    pb = jax.tree.map(lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
+                      *plist)
+    pab = jax.tree.map(lambda x: jnp.broadcast_to(x[None],
+                                                  (A_,) + x.shape), pb)
+    Xb, Ub = jnp.asarray(X), jnp.asarray(U)
+
+    c1 = total_cost_dyncore(spec, solver.weights, Xb, Ub, pab,
+                            interpret=True)
+    c0 = jax.vmap(jax.vmap(solver._total_cost_xla))(Xb, Ub, pab)
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(c0),
+                               rtol=2e-5)
+    assert c1.shape == (A_, B_)
