@@ -382,8 +382,9 @@ class TrajOptSolver:
     def _sqp_iter(self, X, U, p: OCPParams, merit_rho, alphas=None,
                   use_fast_linearize=True):
         w = self.weights
-        if self._linearize_mode == "dynjac" and not self.time_opt:
-            r, Jx, Ju = self._get_linearize_dynjac()(X, U, p)
+        dynjac = self._linearize_mode == "dynjac" and not self.time_opt
+        if dynjac:
+            Q, R, M, qx_vec, ru_vec = self._get_lingram_dynjac()(X, U, p)
         elif use_fast_linearize and not self.time_opt:
             # structure-exploiting assembly: 6-18 RNEA pullbacks + 24 FK
             # pullbacks per node instead of 66 jacfwd tangents through the
@@ -404,19 +405,20 @@ class TrajOptSolver:
             )
         rT, JT = _linearize_terminal(self.spec, w, X[-1], p)
 
-        # ONE merged Gram contraction on J=[Jx|Ju|r]: Q, R, M, qx, ru are
-        # slices of J^T J. The barrier materializes (r, Jx, Ju) first so XLA
-        # cannot fuse (and re-run) the Jacobian assembly into the einsum
-        # producers — measured ~1 ms at B=256 vs the 5 split einsums.
-        r, Jx, Ju = jax.lax.optimization_barrier((r, Jx, Ju))
-        nu = Ju.shape[-1]
-        J = jnp.concatenate([Jx, Ju, r[..., None]], axis=-1)
-        G = jnp.einsum("nri,nrj->nij", J, J)
-        Q = G[:, :NX, :NX]
-        R = G[:, NX:NX + nu, NX:NX + nu]
-        M = G[:, :NX, NX:NX + nu]
-        qx_vec = G[:, :NX, NX + nu]
-        ru_vec = G[:, NX:NX + nu, NX + nu]
+        if not dynjac:
+            # ONE merged Gram contraction on J=[Jx|Ju|r]: Q, R, M, qx, ru
+            # are slices of J^T J. The barrier materializes (r, Jx, Ju)
+            # first so XLA cannot fuse (and re-run) the Jacobian assembly
+            # into the einsum producers.
+            r, Jx, Ju = jax.lax.optimization_barrier((r, Jx, Ju))
+            nu = Ju.shape[-1]
+            J = jnp.concatenate([Jx, Ju, r[..., None]], axis=-1)
+            G = jnp.einsum("nri,nrj->nij", J, J)
+            Q = G[:, :NX, :NX]
+            R = G[:, NX:NX + nu, NX:NX + nu]
+            M = G[:, :NX, NX:NX + nu]
+            qx_vec = G[:, :NX, NX + nu]
+            ru_vec = G[:, NX:NX + nu, NX + nu]
         P_N = JT.T @ JT + self.cost.reg_eps_e * jnp.eye(NX, dtype=X.dtype)
         p_N = JT.T @ rT
 
@@ -489,28 +491,30 @@ class TrajOptSolver:
         step_norm = jnp.max(jnp.abs(dUs[best]))
         return X_new, U_new, merits[best], step_norm, alphas[best]
 
-    def _get_linearize_dynjac(self):
-        """custom_vmap dispatcher to the fused dynamics+Jacobian kernel
-        (ops/dynjac_kernel.py): both the unbatched solve and the vmapped
-        batch route through one kernel launch (nodes alone fill a lane
-        tile, so even B=1 benefits)."""
-        if hasattr(self, "_lin_dynjac"):
-            return self._lin_dynjac
-        from .linearize import linearize_stages_dynjac
+    def _get_lingram_dynjac(self):
+        """custom_vmap dispatcher to the fused dynamics+Jacobian kernel +
+        explicit Gram condensation (linearize.lingram_stages_dynjac): both
+        the unbatched solve and the vmapped batch route through one kernel
+        launch (nodes alone fill a lane tile, so even B=1 benefits), and
+        the Gram contraction always runs on explicitly-batched arrays —
+        per-sample einsums under vmap compile to transpose-heavy programs."""
+        if hasattr(self, "_lingram_dynjac"):
+            return self._lingram_dynjac
+        from .linearize import lingram_stages_dynjac
 
         spec, w = self.spec, self.weights
         inc = self.opt.torque_limit_in_qp
         Jxc, Juc = self._jac_const
 
         @jax.custom_batching.custom_vmap
-        def lin(X, U, p):
-            r, Jx, Ju = linearize_stages_dynjac(
+        def lingram(X, U, p):
+            out = lingram_stages_dynjac(
                 spec, w, X[None], U[None],
                 jax.tree.map(lambda x: x[None], p), Jxc, Juc,
                 include_torque=inc)
-            return r[0], Jx[0], Ju[0]
+            return jax.tree.map(lambda x: x[0], out)
 
-        @lin.def_vmap
+        @lingram.def_vmap
         def _rule(axis_size, in_batched, X, U, p):
             def bc(x, b):
                 return x if b else jnp.broadcast_to(
@@ -519,12 +523,12 @@ class TrajOptSolver:
             X = bc(X, in_batched[0])
             U = bc(U, in_batched[1])
             p = jax.tree.map(bc, p, in_batched[2])
-            out = linearize_stages_dynjac(
+            out = lingram_stages_dynjac(
                 spec, w, X, U, p, Jxc, Juc, include_torque=inc)
-            return out, (True, True, True)
+            return out, tuple(True for _ in out)
 
-        self._lin_dynjac = lin
-        return lin
+        self._lingram_dynjac = lingram
+        return lingram
 
     # ---------------- public API ----------------
     def solve(

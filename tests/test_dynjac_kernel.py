@@ -139,3 +139,55 @@ def test_total_cost_dyncore_matches_oracle():
     np.testing.assert_allclose(np.asarray(c1), np.asarray(c0),
                                rtol=2e-5)
     assert c1.shape == (A_, B_)
+
+
+def test_lingram_stages_dynjac_matches_oracle():
+    """Fused linearize+Gram condensation vs explicit J^T J on the oracle
+    linearization."""
+    from iterative_learning_nmpc_tpu.mpc.config import get_quadruped_config
+    from iterative_learning_nmpc_tpu.solver import sqp as S
+    from iterative_learning_nmpc_tpu.solver.linearize import (
+        lingram_stages_dynjac,
+        make_const_blocks,
+    )
+
+    gait, opt, cost = get_quadruped_config("trot", "go2")
+    spec = go2_spec()
+    solver = S.TrajOptSolver(spec, opt, cost)
+    rng = np.random.RandomState(7)
+    B, N = 2, solver.N
+    q0 = np.asarray(spec.q_home, np.float32)
+    X = np.tile(np.concatenate([q0, np.zeros(18, np.float32)])[None, None],
+                (B, N + 1, 1))
+    X += 0.05 * rng.randn(B, N + 1, 36).astype(np.float32)
+    U = 0.3 * rng.randn(B, N, 30).astype(np.float32)
+    U[:, :, 20::3] += 30.0
+
+    plist = [S.make_params(solver, X[b, 0],
+                           (rng.rand(4, N + 1) > 0.4).astype(np.float32))
+             for b in range(B)]
+    pb = jax.tree.map(lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
+                      *plist)
+    Xb, Ub = jnp.asarray(X), jnp.asarray(U)
+
+    w = solver.weights
+    Jxc, Juc = make_const_blocks(w)
+    inc = solver.opt.torque_limit_in_qp
+    Q1, R1, M1, qx1, ru1 = lingram_stages_dynjac(
+        spec, w, Xb, Ub, pb, Jxc, Juc, include_torque=inc, interpret=True)
+
+    r0, Jx0, Ju0 = jax.vmap(
+        lambda X_, U_, p_: S._linearize_stages(spec, w, X_, U_, p_,
+                                               include_torque=inc)
+    )(Xb, Ub, pb)
+    Q0 = jnp.einsum("bnri,bnrj->bnij", Jx0, Jx0)
+    R0 = jnp.einsum("bnri,bnrj->bnij", Ju0, Ju0)
+    M0 = jnp.einsum("bnri,bnrj->bnij", Jx0, Ju0)
+    qx0 = jnp.einsum("bnri,bnr->bni", Jx0, r0)
+    ru0 = jnp.einsum("bnri,bnr->bni", Ju0, r0)
+
+    for name, a1, a0 in (("Q", Q1, Q0), ("R", R1, R0), ("M", M1, M0),
+                         ("qx", qx1, qx0), ("ru", ru1, ru0)):
+        scale = max(float(jnp.max(jnp.abs(a0))), 1.0)
+        np.testing.assert_allclose(np.asarray(a1), np.asarray(a0),
+                                   atol=3e-4 * scale, err_msg=name)
