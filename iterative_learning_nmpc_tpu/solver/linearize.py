@@ -395,6 +395,196 @@ def total_cost_dyncore(spec, w: Weights, Xb, Ub, pb: OCPParams,
     return cost.reshape(lead)
 
 
+def lingram_structured(spec, w: Weights, Xb, Ub, pb: OCPParams,
+                       include_torque: bool = True,
+                       interpret: bool = False):
+    """Gram blocks (Q, R, M, qx, ru) computed DIRECTLY from row structure.
+
+    The Gram G = J^T J has no cross-row terms — each residual row
+    contributes its own outer product — so it decomposes exactly by row
+    group, and the full 130-row J never needs to exist:
+
+    - tracking / acc / force rows are diagonal        -> elementwise adds,
+    - foot-kinematic rows touch x columns only        -> ONE batched matmul
+      on a (B*N, 32, 37) stack (rows | residual col),
+    - dynamics + torque rows are the only rows with
+      both x and u columns (so M comes only from them)-> ONE batched matmul
+      on (B*N, 6|18, 67),
+    - cone rows are block-diagonal per foot on f      -> ONE batched matmul
+      on (B*N*4, 5, 4) + static block placement.
+
+    This replaces lingram_stages_dynjac's materialize-J path whose vmapped
+    per-node assembly compiled to dozens of small layout-churn copies
+    (measured 14 ms -> see scripts/profile_lin.py; the J arrays also pad
+    36/30/67 trailing dims to 128 lanes in HBM). Everything here runs on
+    flat (B*N, ...) arrays. Validated against the jacfwd-path Gram in
+    tests/test_fast_linearize.py::test_structured_gram_matches_oracle.
+    """
+    import numpy as np
+    from ..ops.dynjac_kernel import dynjac_pallas
+
+    B, N = Ub.shape[0], Ub.shape[1]
+    BN = B * N
+    dtype = Xb.dtype
+
+    # ---- fused dynamics + Jacobian core (one kernel launch) ----
+    X_nodes = Xb[:, :-1].reshape(BN, NX)
+    U_nodes = Ub.reshape(BN, NU)
+    A_nodes = U_nodes[:, :18]
+    cnt = jnp.swapaxes(pb.cnt[:, :, :N], 1, 2).reshape(BN, N_FOOT)
+    f = U_nodes[:, 18:].reshape(BN, N_FOOT, 3)
+    f_eff = cnt[..., None] * f
+    prim, J = dynjac_pallas(spec, X_nodes, A_nodes, f_eff.reshape(BN, 12),
+                            interpret=interpret)
+    p_feet = prim[:, :12].reshape(BN, N_FOOT, 3)
+    v_feet = prim[:, 12:24].reshape(BN, N_FOOT, 3)
+    tau = prim[:, 24:]                                   # (BN, 18)
+    Jp = J[:, :12, :NX].reshape(BN, N_FOOT, 3, NX)
+    Jvf = J[:, 12:24, :NX].reshape(BN, N_FOOT, 3, NX)
+    Jt_x = J[:, 24:, :NX]                                # (BN, 18, NX)
+    Jt_a = J[:, 24:, NX:]                                # (BN, 18, 18)
+    # duality: d tau / d f_eff_i = -(d v_foot_i / d v)^T
+    Jt_f = -jnp.swapaxes(Jvf[..., 18:NX], 2, 3)          # (BN, 4, 18, 3)
+    Jt_f = jnp.moveaxis(Jt_f, 1, 2).reshape(BN, 18, 12)
+
+    # ---- broadcast per-problem params to flat nodes ----
+    rep = lambda x: jnp.broadcast_to(
+        x[:, None], (B, N) + x.shape[1:]).reshape((BN,) + x.shape[1:])
+    peak = jnp.swapaxes(pb.peak[:, :, :N], 1, 2).reshape(BN, N_FOOT)
+    plane = jnp.moveaxis(pb.plane_point[:, :, :N], 2, 1).reshape(BN, N_FOOT, 3)
+    loc = jnp.moveaxis(pb.cnt_loc[:, :, :N], 2, 1).reshape(BN, N_FOOT, 3)
+    patch = jnp.swapaxes(pb.patch_radius[:, :, :N], 1, 2).reshape(BN, N_FOOT)
+    restrict = rep(pb.restrict)                          # (BN,)
+    base_ref = rep(pb.base_ref)
+    joint_ref = rep(pb.joint_ref)
+    step_h = rep(pb.step_height)
+    lam = pb.lam_eq.reshape(BN, 18)
+    cnt12 = jnp.repeat(cnt, 3, axis=1)                   # (BN, 12)
+
+    # ---- diagonal groups (tracking / acc / force regs) ----
+    # per-x-column sqrt weights: cols 0-5 base pos, 6-17 joint pos,
+    # 18-23 base vel, 24-35 joint vel (ocp.problem._base_joint_residuals)
+    wb = np.asarray(w.base)
+    wj = np.asarray(w.joint)
+    wT = np.concatenate([wb[:6], wj[:12], wb[6:], wj[12:]]).astype(
+        np.dtype(jnp.dtype(dtype).name))
+    Q_const = np.diag(wT * wT)
+    x_ref = jnp.concatenate(
+        [base_ref[:, :6], joint_ref, base_ref[:, 6:],
+         jnp.zeros((BN, 12), dtype)], axis=1)            # (BN, 36)
+    qx = (wT * wT) * (X_nodes - x_ref)                   # (BN, 36)
+
+    wacc = np.asarray(w.acc)
+    Rdiag_const = np.zeros(NU, np.dtype(jnp.dtype(dtype).name))
+    Rdiag_const[6:18] = wacc * wacc
+    ru = jnp.zeros((BN, NU), dtype)
+    ru = ru.at[:, 6:18].set((wacc * wacc) * A_nodes[:, 6:])
+    # rf: r = w_f*(f_eff - f_ref), d/df = cnt*w_f; rf_zero: r=(1-cnt)f
+    wf2 = jnp.asarray(w.f_reg)[None] ** 2                # (1, 4, 3)
+    n_active = jnp.maximum(jnp.sum(cnt, axis=1), 1.0)
+    f_ref = jnp.zeros_like(f_eff).at[:, :, 2].set(
+        cnt * w.total_weight / n_active[:, None])
+    omc = (1.0 - cnt)[..., None]
+    Rdiag_f = (cnt[..., None] ** 2) * wf2 + omc * omc    # (BN, 4, 3)
+    ru_f = (cnt[..., None] * wf2 * (f_eff - f_ref) + omc * omc * f)
+    ru = ru.at[:, 18:].set(ru_f.reshape(BN, 12))
+
+    # ---- foot-kinematic stack S (x cols only) + residual column ----
+    sc_sw = (peak * jnp.asarray(w.swing))[..., None]                 # (BN,4,1)
+    S_sw = sc_sw * Jp[:, :, 2, :]
+    s_sw = sc_sw[..., 0] * (p_feet[:, :, 2] - step_h[:, None])
+
+    sc_d = (restrict[:, None] * cnt * w.foot_disp)[..., None, None]
+    S_d = (sc_d * Jp[:, :, :2, :]).reshape(BN, 8, NX)
+    s_d = (sc_d[..., 0] * (p_feet[:, :, :2] - loc[:, :, :2])).reshape(BN, 8)
+
+    d_xy = p_feet[:, :, :2] - loc[:, :, :2]
+    dist = jnp.sqrt(jnp.sum(d_xy * d_xy, axis=2) + 1.0e-12)
+    unit = d_xy / dist[..., None]
+    p_act = (dist - patch > 0.0).astype(dtype)
+    sc_p = restrict[:, None] * cnt * w.patch
+    S_p = (sc_p * p_act)[..., None] * jnp.einsum(
+        "bij,bijx->bix", unit, Jp[:, :, :2, :])
+    s_p = sc_p * jnp.maximum(dist - patch, 0.0)
+
+    stab = jnp.asarray(w.stab_gain)
+    S_c = Jvf.at[:, :, 2, :].add(stab[None, :, None] * Jp[:, :, 2, :])
+    S_c = ((cnt * w.contact_vel)[..., None, None] * S_c).reshape(BN, 12, NX)
+    pin = jnp.concatenate(
+        [v_feet[:, :, :2],
+         (v_feet[:, :, 2] + stab[None] * (p_feet[:, :, 2] - plane[:, :, 2])
+          )[..., None]], axis=2)
+    s_c = ((cnt[..., None] * pin).reshape(BN, 12) * w.contact_vel
+           + cnt12 * lam[:, 6:])
+
+    c_act = (plane[:, :, 2] - p_feet[:, :, 2] > 0.0).astype(dtype)
+    S_cl = (-(1.0 - cnt) * w.swing_clear * c_act)[..., None] * Jp[:, :, 2, :]
+    s_cl = (1.0 - cnt) * w.swing_clear * jnp.maximum(
+        plane[:, :, 2] - p_feet[:, :, 2], 0.0)
+
+    S = jnp.concatenate([S_sw, S_d, S_p, S_c, S_cl], axis=1)   # (BN, 32, NX)
+    s = jnp.concatenate([s_sw, s_d, s_p, s_c, s_cl], axis=1)   # (BN, 32)
+    Sa = jnp.concatenate([S, s[..., None]], axis=2)            # (BN, 32, 37)
+    dg = lambda a, b: jax.lax.dot_general(a, b, (((1,), (1,)), ((0,), (0,))))
+    G_S = dg(Sa, Sa)                                           # (BN, 37, 37)
+
+    # ---- dynamics (+ torque hinge) rows: the only x-AND-u rows ----
+    D_x = w.dyn_cons * Jt_x[:, :6]
+    D_u = w.dyn_cons * jnp.concatenate(
+        [Jt_a[:, :6], Jt_f[:, :6] * cnt12[:, None, :]], axis=2)
+    d_res = w.dyn_cons * tau[:, :6] + lam[:, :6]
+    if include_torque:
+        tau_j = tau[:, 6:]
+        t_act = (jnp.abs(tau_j) - jnp.asarray(spec.torque_limit) > 0.0)
+        t_sc = (t_act.astype(dtype) * jnp.sign(tau_j) * w.torque)[..., None]
+        D_x = jnp.concatenate([D_x, t_sc * Jt_x[:, 6:]], axis=1)
+        D_u = jnp.concatenate(
+            [D_u, t_sc * jnp.concatenate(
+                [Jt_a[:, 6:], Jt_f[:, 6:] * cnt12[:, None, :]], axis=2)],
+            axis=1)
+        t_res = w.torque * jnp.maximum(
+            jnp.abs(tau_j) - jnp.asarray(spec.torque_limit), 0.0)
+        d_res = jnp.concatenate([d_res, t_res], axis=1)
+    Da = jnp.concatenate([D_x, D_u, d_res[..., None]], axis=2)  # (BN,nd,67)
+    G_D = dg(Da, Da)                                            # (BN, 67, 67)
+
+    # ---- cone rows: per-foot (5 x 3) blocks on the f columns ----
+    fx, fy, fz = f_eff[..., 0], f_eff[..., 1], f_eff[..., 2]
+    g_vals = jnp.stack(
+        [-fz, fx - w.mu * fz, -fx - w.mu * fz, fy - w.mu * fz,
+         -fy - w.mu * fz], axis=2)                              # (BN, 4, 5)
+    acts = (g_vals > 0.0).astype(dtype)
+    g_xy = jnp.asarray(_CONE_XY, dtype)
+    mu_mask = jnp.asarray(_CONE_MU_MASK, dtype)
+    g_z = jnp.asarray(_CONE_Z, dtype) * (mu_mask * w.mu + (1.0 - mu_mask))
+    grad = jnp.concatenate(
+        [jnp.broadcast_to(g_xy[None, None], (BN, N_FOOT, 5, 2)),
+         jnp.broadcast_to(g_z[None, None, :, None], (BN, N_FOOT, 5, 1))],
+        axis=3)
+    grad = grad * (acts * (w.cone * cnt)[..., None])[..., None]  # (BN,4,5,3)
+    c_res = w.cone * jnp.maximum(g_vals, 0.0)                    # (BN, 4, 5)
+    Ca = jnp.concatenate([grad, c_res[..., None]], axis=3)       # (BN,4,5,4)
+    Cf = Ca.reshape(BN * N_FOOT, 5, 4)
+    G_C = dg(Cf, Cf).reshape(BN, N_FOOT, 4, 4)
+
+    # ---- assemble ----
+    Q = G_S[:, :NX, :NX] + G_D[:, :NX, :NX] + jnp.asarray(Q_const)[None]
+    qx = qx + G_S[:, :NX, NX] + G_D[:, :NX, NX + NU]
+    M = G_D[:, :NX, NX:NX + NU]
+    R = G_D[:, NX:NX + NU, NX:NX + NU] + jnp.asarray(
+        np.diag(Rdiag_const))[None]
+    didx = jnp.arange(18, NU)
+    R = R.at[:, didx, didx].add(Rdiag_f.reshape(BN, 12))
+    for i in range(N_FOOT):
+        sl = slice(18 + 3 * i, 21 + 3 * i)
+        R = R.at[:, sl, sl].add(G_C[:, i, :3, :3])
+        ru = ru.at[:, sl].add(G_C[:, i, :3, 3])
+    ru = ru + G_D[:, NX:NX + NU, NX + NU]
+
+    rs = lambda x: x.reshape((B, N) + x.shape[1:])
+    return rs(Q), rs(R), rs(M), rs(qx), rs(ru)
+
+
 def lingram_stages_dynjac(spec, w: Weights, Xb, Ub, pb: OCPParams,
                           Jx_const, Ju_const, include_torque: bool = True,
                           interpret: bool = False):

@@ -493,25 +493,24 @@ class TrajOptSolver:
 
     def _get_lingram_dynjac(self):
         """custom_vmap dispatcher to the fused dynamics+Jacobian kernel +
-        explicit Gram condensation (linearize.lingram_stages_dynjac): both
+        structured Gram condensation (linearize.lingram_structured): both
         the unbatched solve and the vmapped batch route through one kernel
         launch (nodes alone fill a lane tile, so even B=1 benefits), and
-        the Gram contraction always runs on explicitly-batched arrays —
-        per-sample einsums under vmap compile to transpose-heavy programs."""
+        the Gram blocks are computed per row group on explicitly-batched
+        flat arrays — the full residual Jacobian is never materialized
+        (per-sample assembly under vmap compiles to layout-churn copies)."""
         if hasattr(self, "_lingram_dynjac"):
             return self._lingram_dynjac
-        from .linearize import lingram_stages_dynjac
+        from .linearize import lingram_structured
 
         spec, w = self.spec, self.weights
         inc = self.opt.torque_limit_in_qp
-        Jxc, Juc = self._jac_const
 
         @jax.custom_batching.custom_vmap
         def lingram(X, U, p):
-            out = lingram_stages_dynjac(
+            out = lingram_structured(
                 spec, w, X[None], U[None],
-                jax.tree.map(lambda x: x[None], p), Jxc, Juc,
-                include_torque=inc)
+                jax.tree.map(lambda x: x[None], p), include_torque=inc)
             return jax.tree.map(lambda x: x[0], out)
 
         @lingram.def_vmap
@@ -523,8 +522,7 @@ class TrajOptSolver:
             X = bc(X, in_batched[0])
             U = bc(U, in_batched[1])
             p = jax.tree.map(bc, p, in_batched[2])
-            out = lingram_stages_dynjac(
-                spec, w, X, U, p, Jxc, Juc, include_torque=inc)
+            out = lingram_structured(spec, w, X, U, p, include_torque=inc)
             return out, tuple(True for _ in out)
 
         self._lingram_dynjac = lingram

@@ -18,6 +18,16 @@ import jax  # noqa: E402
 # jax_platforms in-config; the env var alone does not win. Pin CPU explicitly.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the interpret-mode Pallas oracles compile for
+# minutes on XLA-CPU (test_dynjac_kernel.py, test_fast_linearize.py); cache
+# them across suite runs. Safe to delete .jax_cache/ any time.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -58,6 +58,47 @@ def test_fast_linearize_matches_jacfwd(setup, include_torque):
     np.testing.assert_allclose(Ju1, Ju0, atol=2e-4 * scale_u)
 
 
+def test_structured_gram_matches_oracle(setup):
+    """lingram_structured (row-group Gram, J never materialized) vs explicit
+    J^T J on the jacfwd-path linearization, with every row group exercised
+    (restrict/patch/lam_eq active in the fixture).
+
+    Both torque variants run in ONE test so the interpret-mode Pallas kernel
+    (a ~3 min one-off XLA-CPU compile, shared with test_dynjac_kernel.py in
+    a full-suite run) compiles once; eager, since jit would unroll the
+    interpreter's grid loop into one giant graph."""
+    from iterative_learning_nmpc_tpu.solver.linearize import lingram_structured
+
+    solver, X, U, params = setup
+    w, spec = solver.weights, solver.spec
+    rng = np.random.RandomState(9)
+    Xb = jnp.stack([X, X + 0.03 * rng.randn(*X.shape).astype(np.float32)])
+    Ub = jnp.stack([U, U + 0.1 * rng.randn(*U.shape).astype(np.float32)])
+    pb = jax.tree.map(lambda x: jnp.stack([x, x]), params)
+
+    for include_torque in (True, False):
+        Q1, R1, M1, qx1, ru1 = lingram_structured(
+            spec, w, Xb, Ub, pb, include_torque=include_torque,
+            interpret=True)
+
+        r0, Jx0, Ju0 = jax.vmap(
+            lambda X_, U_, p_: S._linearize_stages(
+                spec, w, X_, U_, p_, include_torque=include_torque)
+        )(Xb, Ub, pb)
+        Q0 = jnp.einsum("bnri,bnrj->bnij", Jx0, Jx0)
+        R0 = jnp.einsum("bnri,bnrj->bnij", Ju0, Ju0)
+        M0 = jnp.einsum("bnri,bnrj->bnij", Jx0, Ju0)
+        qx0 = jnp.einsum("bnri,bnr->bni", Jx0, r0)
+        ru0 = jnp.einsum("bnri,bnr->bni", Ju0, r0)
+
+        for name, a1, a0 in (("Q", Q1, Q0), ("R", R1, R0), ("M", M1, M0),
+                             ("qx", qx1, qx0), ("ru", ru1, ru0)):
+            scale = max(float(jnp.max(jnp.abs(a0))), 1.0)
+            np.testing.assert_allclose(
+                np.asarray(a1), np.asarray(a0), atol=3e-4 * scale,
+                err_msg=f"{name} include_torque={include_torque}")
+
+
 def test_fast_linearize_inside_solver(setup):
     """Solving with the fast path reproduces the AD-path solution.
 
