@@ -52,7 +52,7 @@ def main():
 
     t0 = time.perf_counter()
     out = rti_batch(Xb, Ub, pb)
-    jax.block_until_ready(out)
+    _ = float(jnp.sum(out[0][:, 0, 0]))
     compile_s = time.perf_counter() - t0
 
     # timed steady-state loop (optionally under the JAX profiler:
@@ -60,10 +60,15 @@ def main():
     profile_dir = os.environ.get("BENCH_PROFILE", "")
     if profile_dir:
         jax.profiler.start_trace(profile_dir)
+    # NOTE: block_until_ready over the axon tunnel can return before device
+    # execution completes; a scalar device->host readback is the only
+    # reliable fence. The device stream is FIFO, so fencing on the LAST
+    # rep's output bounds the whole loop (one tunnel round-trip total).
+    _ = float(jnp.sum(out[0][:, 0, 0]))
     t0 = time.perf_counter()
     for _ in range(reps):
         Xb2, Ub2, cost = rti_batch(Xb, Ub, pb)
-    jax.block_until_ready((Xb2, Ub2))
+    _ = float(jnp.sum(Xb2[:, 0, 0]))
     dt = time.perf_counter() - t0
     if profile_dir:
         jax.profiler.stop_trace()
@@ -77,11 +82,11 @@ def main():
 
     x1 = jax.tree.map(lambda x: x[0], pb)
     o = rti_one(Xb[0], Ub[0], x1)
-    jax.block_until_ready(o)
+    _ = float(jnp.sum(o[0][0]))
     t0 = time.perf_counter()
     for _ in range(10):
         o = rti_one(Xb[0], Ub[0], x1)
-    jax.block_until_ready(o)
+    _ = float(jnp.sum(o[0][0]))
     lat_ms = (time.perf_counter() - t0) / 10 * 1e3
 
     result = {

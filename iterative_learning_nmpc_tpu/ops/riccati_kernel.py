@@ -51,7 +51,75 @@ def _f(x):
     return x.astype(jnp.float32)
 
 
+def _solve_node_unrolled(Qxx, Quu, Qux, qxp, qu):
+    """Statically-unrolled factorize-and-solve for one node.
+
+    The fori_loop formulation extracts rows/columns with masked O(n^2)
+    reductions and builds every output (L, W, Z, the Gram) with full-matrix
+    masked adds — O(n^3) vector work just to WRITE O(n^2) data. With the
+    loops unrolled, every index is static: row reads are free vreg
+    selections on the untiled leading dim, outputs are list-collect +
+    one concatenate, and only the genuinely O(n^3) arithmetic remains.
+
+    Rows >= NUK of the padded u blocks are zero / identity by construction
+    (riccati_pallas_batched pads with zeros; the kernel adds an identity on
+    the pad diagonal), so all loops run NUK=30 steps, not NUP=32.
+    """
+    i32 = jnp.int32
+    rvu = jax.lax.broadcasted_iota(i32, (NUP, 1, 1), 0)
+    cvu = jax.lax.broadcasted_iota(i32, (1, NUP, 1), 1)
+
+    # ---- Cholesky Quu = L L^T, right-looking, columns kept as rows ----
+    A = Quu
+    lrows = []    # lrows[k] : (1, NUP, L) = L[:, k] laid out as a row
+    rss = []      # (1, 1, L) = 1 / L[k, k]
+    for k in range(NUK):
+        rowk = A[k:k + 1]                               # = col k (symmetry)
+        rs = jax.lax.rsqrt(jnp.maximum(rowk[:, k:k + 1], 1e-30))
+        lrow = rowk * (rs * _f(cvu >= k))
+        lcol = A[:, k:k + 1] * (rs * _f(rvu > k))
+        A = A - lcol * lrow
+        lrows.append(lrow)
+        rss.append(rs)
+
+    # ---- forward substitution (left-looking): W = L^{-1} [Qux | qu] ----
+    RHS = jnp.concatenate([Qux, qu], axis=1)            # (NUP, NXK+1, L)
+    ys = []
+    for k in range(NUK):
+        acc = RHS[k:k + 1]
+        for jj in range(k):
+            acc = acc - lrows[jj][:, k:k + 1] * ys[jj]  # L[k, jj] * y_jj
+        ys.append(acc * rss[k])
+
+    # ---- back substitution: Z = L^{-T} W ----
+    zs = [None] * NUK
+    for k in reversed(range(NUK)):
+        acc = ys[k]
+        for jj in range(k + 1, NUK):
+            acc = acc - lrows[k][:, jj:jj + 1] * zs[jj]  # L[jj, k] * z_jj
+        zs[k] = acc * rss[k]
+    Z = jnp.concatenate(zs, axis=0)                      # (NUK, NXK+1, L)
+
+    # ---- Gram: P <- Qxx - W^T W (K-free form), p <- qxp - W^T wf ----
+    C = None
+    for k in range(NUK):
+        yk = ys[k]
+        ykT = jnp.concatenate(
+            [yk[:, i:i + 1] for i in range(NXK)], axis=0)  # (NXK, 1, L)
+        term = ykT * yk                                    # (NXK, NXK+1, L)
+        C = term if C is None else C + term
+
+    # A static [:, 36:37] tail slice of a (r, 37, L) array crashes Mosaic's
+    # LLO lowering (displacement check in lower_to_llo.cc); extract the
+    # last (augmented-residual) column with a masked reduce instead.
+    cv37 = jax.lax.broadcasted_iota(i32, (1, NXK + 1, 1), 1)
+    lastcol = lambda x: jnp.sum(x * _f(cv37 == NXK), axis=1, keepdims=True)
+    return (-Z[:, :NXK], -lastcol(Z),
+            Qxx - C[:, :NXK], qxp - lastcol(C))
+
+
 def _riccati_kernel(h: float, lm: float, N: int, interpret: bool,
+                    unrolled: bool,
                     Q_ref, R_ref, MT_ref, qx_ref, ru_ref, dr_ref,
                     PN_ref, pN_ref, K_ref, kff_ref, P_s, p_s):
     j = pl.program_id(1)
@@ -105,6 +173,14 @@ def _riccati_kernel(h: float, lm: float, N: int, interpret: bool,
     qu = ru + jnp.concatenate(
         [hh * Pd[:18] + h * Pd[18:],
          jnp.zeros((NUP - 18, 1, LB), jnp.float32)], axis=0)   # (32, 1, L)
+
+    if unrolled:
+        K, kff, P_new, p_new = _solve_node_unrolled(Qxx, Quu, Qux, qxp, qu)
+        K_ref[0] = K
+        kff_ref[0] = kff
+        P_s[...] = P_new
+        p_s[...] = p_new
+        return
 
     # ---- masked Cholesky: Quu = L L^T (symmetric rank-1 right-looking) ----
     def chol_step(k, carry):
@@ -185,7 +261,8 @@ def _riccati_kernel(h: float, lm: float, N: int, interpret: bool,
 
 
 def riccati_pallas_batched(h: float, lm: float, Q, R, M, qx_vec, ru_vec,
-                           P_N, p_N, defects, *, interpret: bool = False
+                           P_N, p_N, defects, *, interpret: bool = False,
+                           unrolled: bool = True
                            ) -> Tuple[jax.Array, jax.Array]:
     """Batched fused sweep. Shapes (batch-first, true dims):
     Q (B,N,36,36), R (B,N,30,30), M (B,N,36,30), qx (B,N,36), ru (B,N,30),
@@ -233,7 +310,8 @@ def riccati_pallas_batched(h: float, lm: float, Q, R, M, qx_vec, ru_vec,
         pl.BlockSpec((1, NUK, 1, LB), node, memory_space=pltpu.VMEM),
     ]
     Kt, kfft = pl.pallas_call(
-        functools.partial(_riccati_kernel, float(h), float(lm), N, interpret),
+        functools.partial(_riccati_kernel, float(h), float(lm), N, interpret,
+                          unrolled),
         out_shape=[
             jax.ShapeDtypeStruct((N, NUK, NXK, Bp), f32),
             jax.ShapeDtypeStruct((N, NUK, 1, Bp), f32),

@@ -12,14 +12,7 @@ import jax.numpy as jnp
 from __graft_entry__ import _flagship
 
 
-def timeit(fn, *args, reps=20):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / reps * 1e3
+from _timing import timeit  # noqa: E402  (end-fenced: tunnel-safe)
 
 
 def batch_inputs(solver, X, U, params, sol, batch):

@@ -28,14 +28,15 @@ def _random_blocks(rng, B, N, nx=36, nu=30):
 
 
 @pytest.mark.parametrize("B", [4])
-def test_riccati_kernel_matches_oracle(B):
+@pytest.mark.parametrize("unrolled", [True, False])
+def test_riccati_kernel_matches_oracle(B, unrolled):
     rng = np.random.RandomState(11)
     N, h, lm = 7, 0.04, 1e-6
     Q, R, M, qx, ru, P_N, p_N, d = _random_blocks(rng, B, N)
 
     K1, k1 = riccati_pallas_batched(
         h, lm, *map(jnp.asarray, (Q, R, M, qx, ru, P_N, p_N, d)),
-        interpret=True)
+        interpret=True, unrolled=unrolled)
 
     K0, k0 = jax.vmap(
         lambda *a: _riccati_solve_structured(h, *a, np.float32(lm))
