@@ -434,6 +434,296 @@ def dyncore_pallas(spec, X_nodes, A_nodes, Fe_nodes, *,
     return jnp.moveaxis(prim[:, 0, :], -1, 0)[:M]              # (M, 42)
 
 
+# ---------------------------------------------------------------------------
+# fully-fused linearize + Gram condensation kernel
+# ---------------------------------------------------------------------------
+NXL = 36      # state dim
+NUL = 30      # input dim (18 acc + 12 forces)
+NUPL = 32     # padded input rows for the Riccati kernel's tile alignment
+
+
+def _make_wconsts(spec, w):
+    """Host-float weight constants for the lingram kernel (all numpy — the
+    Weights dataclass is built host-side by ocp.problem.make_weights)."""
+    wb = np.asarray(w.base, np.float64)
+    wj = np.asarray(w.joint, np.float64)
+    wT = np.concatenate([wb[:6], wj[:12], wb[6:], wj[12:]])
+    wacc = np.asarray(w.acc, np.float64)
+    return dict(
+        wT2=(wT * wT).astype(np.float64),
+        wacc2=(wacc * wacc).astype(np.float64),
+        wf=np.asarray(w.f_reg, np.float64),            # (4, 3)
+        swing=np.asarray(w.swing, np.float64),         # (4,)
+        foot_disp=float(w.foot_disp),
+        patch=float(w.patch),
+        dyn_cons=float(w.dyn_cons),
+        contact_vel=float(w.contact_vel),
+        stab=np.asarray(w.stab_gain, np.float64),      # (4,)
+        cone=float(w.cone),
+        mu=float(w.mu),
+        swing_clear=float(w.swing_clear),
+        torque=float(w.torque),
+        total_weight=float(w.total_weight),
+        tlim=np.asarray(spec.torque_limit, np.float64),  # (12,)
+    )
+
+
+def _lingram_kernel(consts, wc, include_torque,
+                    X_ref, A_ref, F_ref, CNT_ref, PK_ref, PLZ_ref, LOC_ref,
+                    PATCH_ref, RSTR_ref, LAM_ref, XREF_ref, SH_ref,
+                    Q_ref, R_ref, MT_ref, qx_ref, ru_ref):
+    """One (node x 128-problem) block: dual-number dynamics pass + the whole
+    Gram condensation of solver/linearize.lingram_structured, accumulated in
+    VMEM. Emits the GN blocks in the Riccati kernel's native layout so no
+    XLA op ever touches the 130-row Jacobian or the (67,67) Gram."""
+    f32 = jnp.float32
+    L = X_ref.shape[-1]
+    ti = jax.lax.broadcasted_iota(jnp.int32, (TP, 1), 0)
+
+    def load(ref, idx, seed):
+        tan = (ti == seed).astype(f32) if seed >= 0 else 0.0
+        return D(ref[idx], tan)
+
+    q = [load(X_ref, i, i) for i in range(18)]
+    v = [load(X_ref, 18 + i, 18 + i) for i in range(18)]
+    a = [load(A_ref, i, 36 + i) for i in range(18)]
+    cnt = [CNT_ref[i] for i in range(4)]                       # (1, L) each
+    f = [[F_ref[3 * leg + c] for c in range(3)] for leg in range(4)]
+    fe_v = [[cnt[leg] * f[leg][c] for c in range(3)] for leg in range(4)]
+    fe = [[D(fe_v[leg][c]) for c in range(3)] for leg in range(4)]
+
+    p_feet, v_feet, tau = _dual_pass(consts, q, v, a, fe)
+
+    def t_full(d):
+        if isinstance(d.t, float):
+            return jnp.zeros((TP, L), f32)
+        return jnp.broadcast_to(d.t, (TP, L)).astype(f32)
+
+    tx = lambda d: t_full(d)[:NXL]                             # (36, L)
+
+    def outer(ua, ub):
+        return ua[:, None, :] * ub[None, :, :]
+
+    # ---- accumulators, seeded with the constant diagonal groups ----
+    # (Pallas kernels cannot capture array constants; the diagonal weight
+    # matrices are built from iota masks and trace-time host floats.)
+    i32 = jnp.int32
+    rx = jax.lax.broadcasted_iota(i32, (NXL, 1, 1), 0)
+    cx = jax.lax.broadcasted_iota(i32, (1, NXL, 1), 1)
+    ru_i = jax.lax.broadcasted_iota(i32, (NUL, 1, 1), 0)
+    cu_i = jax.lax.broadcasted_iota(i32, (1, NUL, 1), 1)
+    eye_x = (rx == cx).astype(f32)                             # (36, 36, 1)
+    eye_u = (ru_i == cu_i).astype(f32)                         # (30, 30, 1)
+    wt2_col = sum((rx == i).astype(f32) * float(wc["wT2"][i])
+                  for i in range(NXL))                         # (36, 1, 1)
+    wacc2_u = sum((ru_i == 6 + i).astype(f32) * float(wc["wacc2"][i])
+                  for i in range(12))                          # (30, 1, 1)
+    Qa = eye_x * wt2_col           # broadcasts to (36,36,L) on first add
+    Ra = eye_u * wacc2_u
+    MTa = jnp.zeros((NUL, NXL, L), f32)
+
+    # tracking rows: qx = wT^2 (x - x_ref); acc rows: ru[6:18] = wacc^2 a[6:]
+    qxa = wt2_col * (X_ref[...] - XREF_ref[...])               # (36, 1, L)
+    ra18 = jax.lax.broadcasted_iota(i32, (18, 1, 1), 0)
+    wacc2_a = sum((ra18 == 6 + i).astype(f32) * float(wc["wacc2"][i])
+                  for i in range(12))                          # (18, 1, 1)
+    rua_a = wacc2_a * A_ref[...]                               # (18, 1, L)
+
+    # force-reg rows (diagonal in the f cols): R diag + ru, via one eye-mask
+    sum_cnt = cnt[0] + cnt[1] + cnt[2] + cnt[3]
+    n_act = jnp.maximum(sum_cnt, 1.0)
+    fz_ref = wc["total_weight"] / n_act                        # (1, L)
+    rdiag_f, ru_f = [], []
+    for i in range(4):
+        omc = 1.0 - cnt[i]
+        for c in range(3):
+            wf = wc["wf"][i][c]
+            fref = fz_ref * cnt[i] if c == 2 else 0.0
+            rdiag_f.append(cnt[i] * cnt[i] * (wf * wf) + omc * omc)
+            ru_f.append(cnt[i] * (wf * wf) * (fe_v[i][c] - fref)
+                        + omc * omc * f[i][c])
+    rdiag_row = jnp.concatenate(
+        [jnp.zeros((1, 18, L), f32)]
+        + [x[:, None, :] for x in rdiag_f], axis=1)            # (1, 30, L)
+    Ra = Ra + eye_u * rdiag_row
+    rua = jnp.concatenate([rua_a] + [x[:, None, :] for x in ru_f], axis=0)
+
+    # ---- S-stack: foot-kinematic rows (x cols + residual col only) ----
+    restrict = RSTR_ref[0]
+    step_h = SH_ref[0]
+
+    def acc_x(u_x, s):
+        nonlocal Qa, qxa
+        Qa = Qa + outer(u_x, u_x)
+        qxa = qxa + (u_x * s)[:, None, :]
+
+    for i in range(4):
+        jp_x = tx(p_feet[i][0])
+        jp_y = tx(p_feet[i][1])
+        jp_z = tx(p_feet[i][2])
+        px, py, pz = p_feet[i][0].v, p_feet[i][1].v, p_feet[i][2].v
+
+        # swing-peak row
+        sc = PK_ref[i] * wc["swing"][i]
+        acc_x(sc * jp_z, sc * (pz - step_h))
+
+        # foot-displacement rows (restricted mode)
+        sc = restrict * cnt[i] * wc["foot_disp"]
+        acc_x(sc * jp_x, sc * (px - LOC_ref[2 * i]))
+        acc_x(sc * jp_y, sc * (py - LOC_ref[2 * i + 1]))
+
+        # patch-radius hinge row
+        dx_, dy_ = px - LOC_ref[2 * i], py - LOC_ref[2 * i + 1]
+        dist = jnp.sqrt(dx_ * dx_ + dy_ * dy_ + 1.0e-12)
+        act = (dist - PATCH_ref[i] > 0.0).astype(f32)
+        scp = restrict * cnt[i] * wc["patch"]
+        acc_x((scp * act / dist) * (dx_ * jp_x + dy_ * jp_y),
+              scp * jnp.maximum(dist - PATCH_ref[i], 0.0))
+
+        # contact-pin rows (xy velocity + stabilized z)
+        scc = cnt[i] * wc["contact_vel"]
+        for c in range(2):
+            acc_x(scc * tx(v_feet[i][c]),
+                  scc * v_feet[i][c].v + cnt[i] * LAM_ref[6 + 3 * i + c])
+        stab = wc["stab"][i]
+        acc_x(scc * (tx(v_feet[i][2]) + stab * jp_z),
+              scc * (v_feet[i][2].v + stab * (pz - PLZ_ref[i]))
+              + cnt[i] * LAM_ref[6 + 3 * i + 2])
+
+        # swing-clearance hinge row
+        cl_act = (PLZ_ref[i] - pz > 0.0).astype(f32)
+        scl = (1.0 - cnt[i]) * wc["swing_clear"]
+        acc_x(-scl * cl_act * jp_z,
+              scl * jnp.maximum(PLZ_ref[i] - pz, 0.0))
+
+    # ---- D-stack: dynamics (+ torque hinge) rows — the only x-AND-u rows --
+    # d tau_r / d f_eff_(i,c) = -(d v_foot_(i,c) / d v_r): gather the v-block
+    # of the foot-velocity tangents once, slice per row below.
+    vft = [t_full(v_feet[i][c])[18:NXL] for i in range(4) for c in range(3)]
+    n_tau = 18 if include_torque else 6
+    for r in range(n_tau):
+        t = t_full(tau[r])
+        if r < 6:
+            sc = wc["dyn_cons"]
+            s = sc * tau[r].v + LAM_ref[r]
+        else:
+            tl = wc["tlim"][r - 6]
+            tv = tau[r].v
+            hinge = jnp.abs(tv) - tl
+            sc = ((hinge > 0.0).astype(f32) * jnp.sign(tv) * wc["torque"])
+            s = wc["torque"] * jnp.maximum(hinge, 0.0)
+        u_x = sc * t[:NXL]
+        f_cols = [(-sc) * cnt[ic // 3] * vft[ic][r:r + 1] for ic in range(12)]
+        u_u = jnp.concatenate([sc * t[NXL:NXL + 18]] + f_cols, axis=0)
+        Qa = Qa + outer(u_x, u_x)
+        MTa = MTa + outer(u_u, u_x)
+        Ra = Ra + outer(u_u, u_u)
+        qxa = qxa + (u_x * s)[:, None, :]
+        rua = rua + (u_u * s)[:, None, :]
+
+    # ---- cone hinge rows: per-foot 5 rows on 3 f cols ----
+    for i in range(4):
+        fx, fy, fz = fe_v[i]
+        wcn = wc["cone"] * cnt[i]
+        mu = wc["mu"]
+        rows = [
+            (-fz, (0.0, 0.0, -1.0)),
+            (fx - mu * fz, (1.0, 0.0, -mu)),
+            (-fx - mu * fz, (-1.0, 0.0, -mu)),
+            (fy - mu * fz, (0.0, 1.0, -mu)),
+            (-fy - mu * fz, (0.0, -1.0, -mu)),
+        ]
+        zhead = jnp.zeros((18 + 3 * i, L), f32)
+        ztail = jnp.zeros((9 - 3 * i, L), f32) if i < 3 else None
+        for g_val, grad in rows:
+            act = (g_val > 0.0).astype(f32) * wcn
+            u3 = [jnp.broadcast_to(act * g, (1, L)) for g in grad]
+            parts = [zhead] + u3 + ([ztail] if ztail is not None else [])
+            u_u = jnp.concatenate(parts, axis=0)               # (30, L)
+            s = wc["cone"] * jnp.maximum(g_val, 0.0)
+            Ra = Ra + outer(u_u, u_u)
+            rua = rua + (u_u * s)[:, None, :]
+
+    # ---- emit in the Riccati kernel's layout (u rows padded to 32) ----
+    zpad = jnp.zeros((NUPL - NUL, NXL, L), f32)
+    Q_ref[0] = Qa
+    MT_ref[0] = jnp.concatenate([MTa, zpad], axis=0)
+    R_ref[0] = jnp.concatenate(
+        [jnp.concatenate([Ra, jnp.zeros((NUL, NUPL - NUL, L), f32)], axis=1),
+         jnp.zeros((NUPL - NUL, NUPL, L), f32)], axis=0)
+    qx_ref[0] = qxa
+    ru_ref[0] = jnp.concatenate(
+        [rua, jnp.zeros((NUPL - NUL, 1, L), f32)], axis=0)
+
+
+def lingram_lane_major(spec, w, Xb, Ub, pb, include_torque: bool = True,
+                       interpret: bool = False):
+    """Fused linearize+Gram: Xb (B,N+1,36), Ub (B,N,30), batched OCPParams ->
+    (Q (N,36,36,Bp), R (N,32,32,Bp), MT (N,32,36,Bp), qx (N,36,1,Bp),
+    ru (N,32,1,Bp)) — exactly the layout riccati_pallas consumes, zero
+    repacking between the two kernels. Lanes are node-major: lane = n*Bp + b.
+    """
+    B, N = Ub.shape[0], Ub.shape[1]
+    Bp = -(-B // LB) * LB
+    nb = Bp // LB
+    pad = Bp - B
+    f32 = jnp.float32
+
+    def prep(x):
+        # (B, N, d) -> (d, 1, N*Bp), node-major lanes
+        x = x.astype(f32).reshape(B, N, -1)
+        if pad:
+            x = jnp.concatenate(
+                [x, jnp.zeros((pad,) + x.shape[1:], f32)], axis=0)
+        d = x.shape[-1]
+        return jnp.transpose(x, (2, 1, 0)).reshape(d, 1, N * Bp)
+
+    bN = lambda x: jnp.broadcast_to(x[:, None], (B, N) + x.shape[1:])
+    Xn = prep(Xb[:, :-1])
+    An = prep(Ub[..., :18])
+    Fn = prep(Ub[..., 18:30])
+    CNTn = prep(jnp.swapaxes(pb.cnt[:, :, :N], 1, 2))
+    PKn = prep(jnp.swapaxes(pb.peak[:, :, :N], 1, 2))
+    PLZn = prep(jnp.swapaxes(pb.plane_point[:, :, :N, 2], 1, 2))
+    LOCn = prep(jnp.moveaxis(pb.cnt_loc[:, :, :N, :2], 2, 1))
+    PATCHn = prep(jnp.swapaxes(pb.patch_radius[:, :, :N], 1, 2))
+    RSTRn = prep(bN(pb.restrict[:, None]))
+    LAMn = prep(pb.lam_eq)
+    xref = jnp.concatenate(
+        [pb.base_ref[:, :6], pb.joint_ref, pb.base_ref[:, 6:],
+         jnp.zeros((B, 12), Xb.dtype)], axis=1)
+    XREFn = prep(bN(xref))
+    SHn = prep(bN(pb.step_height[:, None]))
+
+    consts = _make_consts(spec)
+    wc = _make_wconsts(spec, w)
+
+    lane = lambda g: (0, 0, g)
+    nodeo = lambda g: (g // nb, 0, 0, g % nb)
+    ins = lambda d: pl.BlockSpec((d, 1, LB), lane, memory_space=pltpu.VMEM)
+    outs = lambda r, c: pl.BlockSpec((1, r, c, LB), nodeo,
+                                     memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_lingram_kernel, consts, wc, include_torque),
+        out_shape=[
+            jax.ShapeDtypeStruct((N, NXL, NXL, Bp), f32),
+            jax.ShapeDtypeStruct((N, NUPL, NUPL, Bp), f32),
+            jax.ShapeDtypeStruct((N, NUPL, NXL, Bp), f32),
+            jax.ShapeDtypeStruct((N, NXL, 1, Bp), f32),
+            jax.ShapeDtypeStruct((N, NUPL, 1, Bp), f32),
+        ],
+        grid=(N * nb,),
+        in_specs=[ins(36), ins(18), ins(12), ins(4), ins(4), ins(4), ins(8),
+                  ins(4), ins(1), ins(18), ins(36), ins(1)],
+        out_specs=[outs(NXL, NXL), outs(NUPL, NUPL), outs(NUPL, NXL),
+                   outs(NXL, 1), outs(NUPL, 1)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        interpret=interpret,
+    )(Xn, An, Fn, CNTn, PKn, PLZn, LOCn, PATCHn, RSTRn, LAMn, XREFn, SHn)
+
+
 def dynjac_pallas(spec, X_nodes, A_nodes, Fe_nodes, *, interpret: bool = False):
     """Batched fused dynamics+Jacobian evaluation.
 

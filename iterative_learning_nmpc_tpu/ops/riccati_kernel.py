@@ -333,6 +333,71 @@ def riccati_pallas_batched(h: float, lm: float, Q, R, M, qx_vec, ru_vec,
     return K, kff
 
 
+def riccati_pallas_lane_major(h: float, lm: float, Qt, Rt, MTt, qxt, rut,
+                              defects, P_N, p_N, *, interpret: bool = False
+                              ) -> Tuple[jax.Array, jax.Array]:
+    """Fused sweep on GN blocks already in kernel layout (node-major lanes):
+    Qt (N,36,36,Bp), Rt (N,32,32,Bp), MTt (N,32,36,Bp), qxt (N,36,1,Bp),
+    rut (N,32,1,Bp) — exactly what ops/dynjac_kernel.lingram_lane_major
+    emits, so the two kernels chain with no repacking. defects (B,N,36),
+    P_N (B,36,36), p_N (B,36) are blasted here (small). Returns K,kff
+    batch-major (B,N,30,36)/(B,N,30)."""
+    N, Bp = Qt.shape[0], Qt.shape[-1]
+    B = P_N.shape[0]
+    pad = Bp - B
+    f32 = jnp.float32
+
+    def blast(x):
+        if pad:
+            x = jnp.concatenate(
+                [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
+        return jnp.moveaxis(x, 0, -1)
+
+    drt = blast(defects.astype(f32)[:, :, None, :])               # (N,1,36,Bp)
+    PNt = blast(P_N.astype(f32))
+    pNt = blast(p_N.astype(f32)[..., None])
+
+    nb = Bp // LB
+    node = lambda i, j: (N - 1 - j, 0, 0, i)
+    fixed = lambda i, j: (0, 0, i)
+    in_specs = [
+        pl.BlockSpec((1, NXK, NXK, LB), node, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, NUP, NUP, LB), node, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, NUP, NXK, LB), node, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, NXK, 1, LB), node, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, NUP, 1, LB), node, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, NXK, LB), node, memory_space=pltpu.VMEM),
+        pl.BlockSpec((NXK, NXK, LB), fixed, memory_space=pltpu.VMEM),
+        pl.BlockSpec((NXK, 1, LB), fixed, memory_space=pltpu.VMEM),
+    ]
+    out_specs = [
+        pl.BlockSpec((1, NUK, NXK, LB), node, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, NUK, 1, LB), node, memory_space=pltpu.VMEM),
+    ]
+    Kt, kfft = pl.pallas_call(
+        functools.partial(_riccati_kernel, float(h), float(lm), N, interpret,
+                          True),
+        out_shape=[
+            jax.ShapeDtypeStruct((N, NUK, NXK, Bp), f32),
+            jax.ShapeDtypeStruct((N, NUK, 1, Bp), f32),
+        ],
+        grid=(nb, N),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=[
+            pltpu.VMEM((NXK, NXK, LB), f32),
+            pltpu.VMEM((NXK, 1, LB), f32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(Qt, Rt, MTt, qxt, rut, drt, PNt, pNt)
+    K = jnp.moveaxis(Kt, -1, 0)[:B]                 # (B, N, 30, 36)
+    kff = jnp.moveaxis(kfft[..., 0, :], -1, 0)[:B]  # (B, N, 30)
+    return K, kff
+
+
 def make_riccati_pallas(h: float, lm: float, interpret: bool = False):
     """custom_vmap wrapper: sequential scan for unbatched solves (latency),
     the fused kernel when the solve is vmapped over a problem batch."""

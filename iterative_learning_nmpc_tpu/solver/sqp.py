@@ -383,6 +383,19 @@ class TrajOptSolver:
                   use_fast_linearize=True):
         w = self.weights
         dynjac = self._linearize_mode == "dynjac" and not self.time_opt
+        fused = dynjac and self._riccati_mode == "pallas"
+        if fused:
+            # fully-fused TPU path: lingram kernel -> Riccati kernel chained
+            # in lane-major layout; the GN blocks never exist batch-major.
+            rT, JT = _linearize_terminal(self.spec, w, X[-1], p)
+            P_N = JT.T @ JT + self.cost.reg_eps_e * jnp.eye(NX, dtype=X.dtype)
+            p_N = JT.T @ rT
+            defects = self._defects(X, U, p)
+            dx0 = p.x0 - X[0]
+            K, kff = self._get_fused_lr()(X, U, p, P_N, p_N, defects)
+            structured = True
+            return self._line_search(X, U, p, K, kff, defects, dx0,
+                                     merit_rho, alphas, structured)
         if dynjac:
             Q, R, M, qx_vec, ru_vec = self._get_lingram_dynjac()(X, U, p)
         elif use_fast_linearize and not self.time_opt:
@@ -465,6 +478,11 @@ class TrajOptSolver:
                 A_dyn, B_dyn, Q, R, M, qx_vec, ru_vec, P_N, p_N, defects, lm
             )
 
+        return self._line_search(X, U, p, K, kff, defects, dx0, merit_rho,
+                                 alphas, structured, A_dyn, B_dyn)
+
+    def _line_search(self, X, U, p, K, kff, defects, dx0, merit_rho, alphas,
+                     structured, A_dyn=None, B_dyn=None):
         def candidate(alpha):
             if structured:
                 dX, dU = _forward_delta_structured(
@@ -490,6 +508,54 @@ class TrajOptSolver:
         U_new = Us[best]
         step_norm = jnp.max(jnp.abs(dUs[best]))
         return X_new, U_new, merits[best], step_norm, alphas[best]
+
+    def _get_fused_lr(self):
+        """custom_vmap dispatcher for the fully-fused TPU linearize->Riccati
+        chain: the lingram Pallas kernel emits the GN blocks in the Riccati
+        kernel's lane-major layout (ops/dynjac_kernel.lingram_lane_major ->
+        ops/riccati_kernel.riccati_pallas_lane_major) so no XLA op ever
+        materializes Q/R/M batch-major. Unbatched solves keep the structured
+        XLA path (better latency at B=1)."""
+        if hasattr(self, "_fused_lr"):
+            return self._fused_lr
+        from ..ops.dynjac_kernel import lingram_lane_major
+        from ..ops.riccati_kernel import riccati_pallas_lane_major
+        from .linearize import lingram_structured
+
+        spec, w = self.spec, self.weights
+        inc = self.opt.torque_limit_in_qp
+        h, lm = self.dt_nodes, float(self.opt.lm_reg)
+
+        @jax.custom_batching.custom_vmap
+        def fused(X, U, p, P_N, p_N, defects):
+            Q, R, M, qx_vec, ru_vec = jax.tree.map(
+                lambda x: x[0], lingram_structured(
+                    spec, w, X[None], U[None],
+                    jax.tree.map(lambda x: x[None], p), include_torque=inc))
+            return _riccati_solve_structured(
+                h, Q, R, M, qx_vec, ru_vec, P_N, p_N, defects,
+                jnp.asarray(lm, X.dtype))
+
+        @fused.def_vmap
+        def _rule(axis_size, in_batched, X, U, p, P_N, p_N, defects):
+            def bc(x, b):
+                return x if b else jnp.broadcast_to(
+                    x[None], (axis_size,) + jnp.shape(x))
+
+            X = bc(X, in_batched[0])
+            U = bc(U, in_batched[1])
+            p = jax.tree.map(bc, p, in_batched[2])
+            P_N = bc(P_N, in_batched[3])
+            p_N = bc(p_N, in_batched[4])
+            defects = bc(defects, in_batched[5])
+            Qt, Rt, MTt, qxt, rut = lingram_lane_major(
+                spec, w, X, U, p, include_torque=inc)
+            K, kff = riccati_pallas_lane_major(
+                h, lm, Qt, Rt, MTt, qxt, rut, defects, P_N, p_N)
+            return (K, kff), (True, True)
+
+        self._fused_lr = fused
+        return fused
 
     def _get_lingram_dynjac(self):
         """custom_vmap dispatcher to the fused dynamics+Jacobian kernel +
