@@ -483,14 +483,19 @@ class TrajOptSolver:
 
     def _line_search(self, X, U, p, K, kff, defects, dx0, merit_rho, alphas,
                      structured, A_dyn=None, B_dyn=None):
+        # The affine rollout is homogeneous in alpha (dx0, kff, and the
+        # defect drive all carry the step scale), so ONE rollout at alpha=1
+        # gives every candidate: dX(alpha) = alpha * dX(1). The per-alpha
+        # work is reduced to an elementwise scale + the merit evaluation.
+        one = jnp.asarray(1.0, X.dtype)
+        if structured:
+            dX1, dU1 = _forward_delta_structured(
+                self.dt_nodes, K, kff, defects, dx0, one)
+        else:
+            dX1, dU1 = _forward_delta(A_dyn, B_dyn, K, kff, defects, dx0, one)
+
         def candidate(alpha):
-            if structured:
-                dX, dU = _forward_delta_structured(
-                    self.dt_nodes, K, kff, defects, dx0, alpha
-                )
-            else:
-                dX, dU = _forward_delta(A_dyn, B_dyn, K, kff, defects, dx0, alpha)
-            Xc, Uc = X + dX, U + dU
+            Xc, Uc = X + alpha * dX1, U + alpha * dU1
             cost_c = self._total_cost(Xc, Uc, p)
             if self.time_opt:
                 # bilinear dynamics: evaluate the true post-step defects
@@ -499,14 +504,15 @@ class TrajOptSolver:
             else:
                 # linear dynamics => defects shrink exactly by (1-alpha)
                 merit = cost_c + merit_rho * (1.0 - alpha) * jnp.sum(jnp.abs(defects))
-            return Xc, Uc, dU, merit
+            return merit
 
         alphas = jnp.asarray(self.ls_alphas if alphas is None else alphas)
-        Xs, Us, dUs, merits = jax.vmap(candidate)(alphas)
+        merits = jax.vmap(candidate)(alphas)
         best = jnp.argmin(merits)
-        X_new = Xs[best]
-        U_new = Us[best]
-        step_norm = jnp.max(jnp.abs(dUs[best]))
+        a_best = alphas[best].astype(X.dtype)
+        X_new = X + a_best * dX1
+        U_new = U + a_best * dU1
+        step_norm = a_best * jnp.max(jnp.abs(dU1))
         return X_new, U_new, merits[best], step_norm, alphas[best]
 
     def _get_fused_lr(self):

@@ -62,15 +62,18 @@ def main():
         return riccati(Q, R, M, qx, ru, P_N, p_N, defects)
 
     def forward_merit_stage(X, U, p, K, kff, defects, dx0):
+        # mirrors sqp._line_search: one rollout at alpha=1, per-alpha merit
+        dX1, dU1 = _forward_delta_structured(h, K, kff, defects, dx0, 1.0)
+
         def candidate(alpha):
-            dX, dU = _forward_delta_structured(h, K, kff, defects, dx0, alpha)
-            Xc, Uc = X + dX, U + dU
+            Xc, Uc = X + alpha * dX1, U + alpha * dU1
             cost_c = solver._total_cost(Xc, Uc, p)
-            merit = cost_c + 1e2 * (1.0 - alpha) * jnp.sum(jnp.abs(defects))
-            return Xc, Uc, merit
-        Xs, Us, merits = jax.vmap(candidate)(alphas)
+            return cost_c + 1e2 * (1.0 - alpha) * jnp.sum(jnp.abs(defects))
+
+        merits = jax.vmap(candidate)(alphas)
         best = jnp.argmin(merits)
-        return Xs[best], Us[best]
+        a = alphas[best]
+        return X + a * dX1, U + a * dU1
 
     vm = lambda f: jax.jit(jax.vmap(f))
     full = jax.jit(lambda X, U, p: jax.vmap(
