@@ -334,7 +334,8 @@ def riccati_pallas_batched(h: float, lm: float, Q, R, M, qx_vec, ru_vec,
 
 
 def riccati_pallas_lane_major(h: float, lm: float, Qt, Rt, MTt, qxt, rut,
-                              defects, P_N, p_N, *, interpret: bool = False
+                              defects, P_N, p_N, *, interpret: bool = False,
+                              raw_out: bool = False
                               ) -> Tuple[jax.Array, jax.Array]:
     """Fused sweep on GN blocks already in kernel layout (node-major lanes):
     Qt (N,36,36,Bp), Rt (N,32,32,Bp), MTt (N,32,36,Bp), qxt (N,36,1,Bp),
@@ -393,9 +394,108 @@ def riccati_pallas_lane_major(h: float, lm: float, Qt, Rt, MTt, qxt, rut,
         ),
         interpret=interpret,
     )(Qt, Rt, MTt, qxt, rut, drt, PNt, pNt)
+    if raw_out:
+        return Kt, kfft                             # lane-major, for chaining
     K = jnp.moveaxis(Kt, -1, 0)[:B]                 # (B, N, 30, 36)
     kff = jnp.moveaxis(kfft[..., 0, :], -1, 0)[:B]  # (B, N, 30)
     return K, kff
+
+
+def _forward_kernel(h: float, interpret: bool,
+                    K_ref, kff_ref, dr_ref, dx0_ref,
+                    dX_ref, dU_ref, dxN_ref, dx_s):
+    """One (batch-tile, node) step of the affine rollout at alpha=1:
+    du = K dx + kff; dx' = A dx + B du + defect, with the double-integrator
+    A/B applied as sublane rolls + masks (see sqp._forward_delta_structured
+    for the math). dx lives in VMEM scratch as a (1, 36, L) row across the
+    node dimension; du is formed as a (30, 1, L) column by one masked
+    sublane reduction — no transposes anywhere."""
+    j = pl.program_id(1)
+    hh = 0.5 * h * h
+    f32 = jnp.float32
+
+    roll = (lambda x, s: jnp.roll(x, s, axis=1)) if interpret else (
+        lambda x, s: pltpu.roll(x, s, axis=1))
+
+    @pl.when(j == 0)
+    def _():
+        dx_s[...] = dx0_ref[...]
+
+    dx = dx_s[...]                                  # (1, 36, L)
+    K = K_ref[0]                                    # (30, 36, L)
+    kff = kff_ref[0]                                # (30, 1, L)
+    d = dr_ref[0]                                   # (1, 36, L)
+
+    du = jnp.sum(K * dx, axis=1, keepdims=True) + kff   # (30, 1, L)
+
+    # du_acc rows 0..17 spread onto sublanes, duplicated into both column
+    # halves: du36[:, c] = du[c % 18] (each term is a free vreg select on
+    # the untiled leading dim times an iota mask)
+    i32 = jnp.int32
+    cv = jax.lax.broadcasted_iota(i32, (1, NXK, 1), 1)
+    du36 = sum(du[r:r + 1] * _f((cv == r) | (cv == r + 18)) for r in range(18))
+    maskq = _f(cv < 18)
+
+    dx_vshift = roll(dx, 18) * maskq                # v-block moved to q cols
+    dx_next = (dx + h * dx_vshift
+               + du36 * (hh * maskq + h * (1.0 - maskq)) + d)
+
+    dX_ref[0] = dx
+    dU_ref[0] = du
+    dxN_ref[...] = dx_next                          # last write (j=N-1) wins
+    dx_s[...] = dx_next
+
+
+def forward_rollout_lane_major(h: float, Kt, kfft, drt, dx0, *,
+                               interpret: bool = False
+                               ) -> Tuple[jax.Array, jax.Array]:
+    """Affine rollout at alpha=1 consuming the Riccati kernel's raw
+    lane-major outputs: Kt (N,30,36,Bp), kfft (N,30,1,Bp),
+    drt (N,1,36,Bp) defects-as-rows (same array the Riccati kernel ate),
+    dx0 (B,36) batch-major. Returns dX1 (B,N+1,36), dU1 (B,N,30) —
+    K and kff never exist batch-major in HBM."""
+    N, Bp = Kt.shape[0], Kt.shape[-1]
+    B = dx0.shape[0]
+    pad = Bp - B
+    f32 = jnp.float32
+
+    x0 = dx0.astype(f32)
+    if pad:
+        x0 = jnp.concatenate([x0, jnp.zeros((pad, NXK), f32)], axis=0)
+    dx0t = jnp.moveaxis(x0, 0, -1)[None]            # (1, 36, Bp)
+
+    nb = Bp // LB
+    node = lambda i, j: (j, 0, 0, i)
+    fixed = lambda i, j: (0, 0, i)
+    dXt, dUt, dxNt = pl.pallas_call(
+        functools.partial(_forward_kernel, float(h), interpret),
+        out_shape=[
+            jax.ShapeDtypeStruct((N, 1, NXK, Bp), f32),
+            jax.ShapeDtypeStruct((N, NUK, 1, Bp), f32),
+            jax.ShapeDtypeStruct((1, NXK, Bp), f32),
+        ],
+        grid=(nb, N),
+        in_specs=[
+            pl.BlockSpec((1, NUK, NXK, LB), node, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NUK, 1, LB), node, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, NXK, LB), node, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NXK, LB), fixed, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, NXK, LB), node, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NUK, 1, LB), node, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NXK, LB), fixed, memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[pltpu.VMEM((1, NXK, LB), f32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(Kt, kfft, drt, dx0t)
+    dX = jnp.moveaxis(dXt[:, 0], -1, 0)[:B]         # (B, N, 36)
+    dxN = jnp.moveaxis(dxNt[0], -1, 0)[:B]          # (B, 36)
+    dU = jnp.moveaxis(dUt[..., 0, :], -1, 0)[:B]    # (B, N, 30)
+    return jnp.concatenate([dX, dxN[:, None]], axis=1), dU
 
 
 def make_riccati_pallas(h: float, lm: float, interpret: bool = False):

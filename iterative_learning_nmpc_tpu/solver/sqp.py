@@ -392,10 +392,9 @@ class TrajOptSolver:
             p_N = JT.T @ rT
             defects = self._defects(X, U, p)
             dx0 = p.x0 - X[0]
-            K, kff = self._get_fused_lr()(X, U, p, P_N, p_N, defects)
-            structured = True
-            return self._line_search(X, U, p, K, kff, defects, dx0,
-                                     merit_rho, alphas, structured)
+            dX1, dU1 = self._get_fused_lr()(X, U, p, P_N, p_N, defects, dx0)
+            return self._merit_select(X, U, p, dX1, dU1, defects,
+                                      merit_rho, alphas)
         if dynjac:
             Q, R, M, qx_vec, ru_vec = self._get_lingram_dynjac()(X, U, p)
         elif use_fast_linearize and not self.time_opt:
@@ -493,7 +492,10 @@ class TrajOptSolver:
                 self.dt_nodes, K, kff, defects, dx0, one)
         else:
             dX1, dU1 = _forward_delta(A_dyn, B_dyn, K, kff, defects, dx0, one)
+        return self._merit_select(X, U, p, dX1, dU1, defects, merit_rho,
+                                  alphas)
 
+    def _merit_select(self, X, U, p, dX1, dU1, defects, merit_rho, alphas):
         def candidate(alpha):
             Xc, Uc = X + alpha * dX1, U + alpha * dU1
             cost_c = self._total_cost(Xc, Uc, p)
@@ -516,16 +518,21 @@ class TrajOptSolver:
         return X_new, U_new, merits[best], step_norm, alphas[best]
 
     def _get_fused_lr(self):
-        """custom_vmap dispatcher for the fully-fused TPU linearize->Riccati
-        chain: the lingram Pallas kernel emits the GN blocks in the Riccati
-        kernel's lane-major layout (ops/dynjac_kernel.lingram_lane_major ->
-        ops/riccati_kernel.riccati_pallas_lane_major) so no XLA op ever
-        materializes Q/R/M batch-major. Unbatched solves keep the structured
-        XLA path (better latency at B=1)."""
+        """custom_vmap dispatcher for the fully-fused TPU
+        linearize->Riccati->forward chain: the lingram Pallas kernel emits
+        the GN blocks in the Riccati kernel's lane-major layout
+        (ops/dynjac_kernel.lingram_lane_major ->
+        ops/riccati_kernel.riccati_pallas_lane_major), and the forward
+        kernel (forward_rollout_lane_major) consumes the raw lane-major
+        K/kff, so neither the GN blocks nor the gains ever exist
+        batch-major in HBM. Returns the alpha=1 step (dX1, dU1); the line
+        search is an elementwise scale from there (_merit_select).
+        Unbatched solves keep the structured XLA path (latency at B=1)."""
         if hasattr(self, "_fused_lr"):
             return self._fused_lr
         from ..ops.dynjac_kernel import lingram_lane_major
-        from ..ops.riccati_kernel import riccati_pallas_lane_major
+        from ..ops.riccati_kernel import (
+            forward_rollout_lane_major, riccati_pallas_lane_major)
         from .linearize import lingram_structured
 
         spec, w = self.spec, self.weights
@@ -533,17 +540,19 @@ class TrajOptSolver:
         h, lm = self.dt_nodes, float(self.opt.lm_reg)
 
         @jax.custom_batching.custom_vmap
-        def fused(X, U, p, P_N, p_N, defects):
+        def fused(X, U, p, P_N, p_N, defects, dx0):
             Q, R, M, qx_vec, ru_vec = jax.tree.map(
                 lambda x: x[0], lingram_structured(
                     spec, w, X[None], U[None],
                     jax.tree.map(lambda x: x[None], p), include_torque=inc))
-            return _riccati_solve_structured(
+            K, kff = _riccati_solve_structured(
                 h, Q, R, M, qx_vec, ru_vec, P_N, p_N, defects,
                 jnp.asarray(lm, X.dtype))
+            return _forward_delta_structured(
+                h, K, kff, defects, dx0, jnp.asarray(1.0, X.dtype))
 
         @fused.def_vmap
-        def _rule(axis_size, in_batched, X, U, p, P_N, p_N, defects):
+        def _rule(axis_size, in_batched, X, U, p, P_N, p_N, defects, dx0):
             def bc(x, b):
                 return x if b else jnp.broadcast_to(
                     x[None], (axis_size,) + jnp.shape(x))
@@ -554,11 +563,24 @@ class TrajOptSolver:
             P_N = bc(P_N, in_batched[3])
             p_N = bc(p_N, in_batched[4])
             defects = bc(defects, in_batched[5])
+            dx0 = bc(dx0, in_batched[6])
             Qt, Rt, MTt, qxt, rut = lingram_lane_major(
                 spec, w, X, U, p, include_torque=inc)
-            K, kff = riccati_pallas_lane_major(
-                h, lm, Qt, Rt, MTt, qxt, rut, defects, P_N, p_N)
-            return (K, kff), (True, True)
+            Kt, kfft = riccati_pallas_lane_major(
+                h, lm, Qt, Rt, MTt, qxt, rut, defects, P_N, p_N,
+                raw_out=True)
+            # defects-as-rows in the same lane-major layout the Riccati
+            # kernel consumed (small: (N,1,36,Bp))
+            Bp = Kt.shape[-1]
+            pad = Bp - defects.shape[0]
+            drt = defects.astype(jnp.float32)[:, :, None, :]
+            if pad:
+                drt = jnp.concatenate(
+                    [drt, jnp.zeros((pad,) + drt.shape[1:], jnp.float32)],
+                    axis=0)
+            drt = jnp.moveaxis(drt, 0, -1)
+            dX1, dU1 = forward_rollout_lane_major(h, Kt, kfft, drt, dx0)
+            return (dX1.astype(X.dtype), dU1.astype(X.dtype)), (True, True)
 
         self._fused_lr = fused
         return fused

@@ -64,3 +64,45 @@ def test_riccati_custom_vmap_paths():
     scale = float(jnp.max(jnp.abs(K_single)))
     np.testing.assert_allclose(np.asarray(K_batched[0]),
                                np.asarray(K_single), atol=2e-4 * scale)
+
+
+def test_forward_rollout_kernel_matches_oracle():
+    """forward_rollout_lane_major (alpha=1 affine rollout consuming the
+    Riccati kernel's lane-major K/kff) vs sqp._forward_delta_structured."""
+    from iterative_learning_nmpc_tpu.ops.riccati_kernel import (
+        forward_rollout_lane_major)
+    from iterative_learning_nmpc_tpu.solver.sqp import (
+        _forward_delta_structured)
+
+    rng = np.random.RandomState(7)
+    B, N, h = 3, 6, 0.04
+    K = 0.3 * rng.randn(B, N, 30, 36).astype(np.float32)
+    kff = rng.randn(B, N, 30).astype(np.float32)
+    d = 0.05 * rng.randn(B, N, 36).astype(np.float32)
+    dx0 = 0.1 * rng.randn(B, 36).astype(np.float32)
+
+    # pack K/kff/defects into the Riccati kernel's lane-major layout
+    Bp = 128
+    pad = Bp - B
+    blast = lambda x: jnp.moveaxis(
+        jnp.concatenate(
+            [jnp.asarray(x),
+             jnp.zeros((pad,) + x.shape[1:], np.float32)], axis=0), 0, -1)
+    Kt = blast(K)                                   # (N, 30, 36, Bp)
+    kfft = blast(kff[..., None])                    # (N, 30, 1, Bp)
+    drt = blast(d[:, :, None, :])                   # (N, 1, 36, Bp)
+
+    dX1, dU1 = forward_rollout_lane_major(
+        h, Kt, kfft, drt, jnp.asarray(dx0), interpret=True)
+
+    dX0, dU0 = jax.vmap(
+        lambda Kb, kb, db, x0: _forward_delta_structured(
+            h, Kb, kb, db, x0, np.float32(1.0))
+    )(*map(jnp.asarray, (K, kff, d, dx0)))
+
+    sx = max(1.0, float(jnp.max(jnp.abs(dX0))))
+    np.testing.assert_allclose(np.asarray(dX1), np.asarray(dX0),
+                               atol=2e-5 * sx)
+    su = max(1.0, float(jnp.max(jnp.abs(dU0))))
+    np.testing.assert_allclose(np.asarray(dU1), np.asarray(dU0),
+                               atol=2e-5 * su)
