@@ -29,7 +29,10 @@ def main():
     from __graft_entry__ import _flagship
 
     batch = int(os.environ.get("BENCH_BATCH", "256"))
-    reps = int(os.environ.get("BENCH_REPS", "20"))
+    # reps is the lax.scan length of the timed loop; the axon tunnel adds a
+    # fixed ~25 ms per jit call, so enough steps are needed to amortize it
+    # (100 steps ~ 270 ms device time => <10% overhead).
+    reps = int(os.environ.get("BENCH_REPS", "100"))
 
     solver, X, U, params = _flagship()
     # converge once, then measure steady-state RTI from the shifted solution
@@ -45,13 +48,23 @@ def main():
     Xb = jnp.tile(sol.X[None], (batch, 1, 1)).at[:, 0].set(pb.x0)
     Ub = jnp.tile(sol.U[None], (batch, 1, 1))
 
+    # Steady-state throughput: `reps` warm-started RTI steps chained inside
+    # ONE jit via lax.scan — each step re-solves from the previous solution,
+    # exactly how the solver runs inside on-device datagen / closed-loop
+    # programs (learning/ondevice.py). Keeping the loop on-device excludes
+    # the axon-tunnel dispatch gap (~2 ms/call here, ~100 us on a local
+    # chip) that a per-call loop would charge to the solver.
     @jax.jit
-    def rti_batch(X, U, p):
-        s = jax.vmap(lambda x, u, pp: solver.solve(x, u, pp, 1))(X, U, p)
-        return s.X, s.U, s.stats.cost
+    def rti_scan(X, U, p):
+        def step(carry, _):
+            X, U = carry
+            s = jax.vmap(lambda x, u, pp: solver.solve(x, u, pp, 1))(X, U, p)
+            return (s.X, s.U), s.stats.cost
+        (X, U), costs = jax.lax.scan(step, (X, U), None, length=reps)
+        return X, U, costs[-1]
 
     t0 = time.perf_counter()
-    out = rti_batch(Xb, Ub, pb)
+    out = rti_scan(Xb, Ub, pb)
     _ = float(jnp.sum(out[0][:, 0, 0]))
     compile_s = time.perf_counter() - t0
 
@@ -62,32 +75,47 @@ def main():
         jax.profiler.start_trace(profile_dir)
     # NOTE: block_until_ready over the axon tunnel can return before device
     # execution completes; a scalar device->host readback is the only
-    # reliable fence. The device stream is FIFO, so fencing on the LAST
-    # rep's output bounds the whole loop (one tunnel round-trip total).
-    _ = float(jnp.sum(out[0][:, 0, 0]))
+    # reliable fence.
     t0 = time.perf_counter()
-    for _ in range(reps):
-        Xb2, Ub2, cost = rti_batch(Xb, Ub, pb)
+    Xb2, Ub2, cost = rti_scan(Xb, Ub, pb)
     _ = float(jnp.sum(Xb2[:, 0, 0]))
     dt = time.perf_counter() - t0
     if profile_dir:
         jax.profiler.stop_trace()
     solves_per_s = batch * reps / dt
 
-    # single-solve latency (batch=1) — the per-step real-time budget check
+    # per-call dispatch-included variant (one jit call per RTI step) for
+    # reference — dominated by tunnel round-trips in this environment
     @jax.jit
-    def rti_one(X, U, p):
-        s = solver.solve(X, U, p, 1)
+    def rti_batch(X, U, p):
+        s = jax.vmap(lambda x, u, pp: solver.solve(x, u, pp, 1))(X, U, p)
         return s.X, s.U
+    o = rti_batch(Xb, Ub, pb)
+    _ = float(jnp.sum(o[0][:, 0, 0]))
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        o = rti_batch(Xb, Ub, pb)
+    _ = float(jnp.sum(o[0][:, 0, 0]))
+    percall_solves_per_s = batch * reps / (time.perf_counter() - t0)
+
+    # single-solve latency (batch=1) — the per-step real-time budget check.
+    # Chained on-device (scan) so the number is device latency, not the
+    # axon-tunnel round trip (~5-10 ms) a per-call loop would measure.
+    @jax.jit
+    def rti_one_scan(X, U, p):
+        def step(carry, _):
+            s = solver.solve(carry[0], carry[1], p, 1)
+            return (s.X, s.U), None
+        (X, U), _ = jax.lax.scan(step, (X, U), None, length=reps)
+        return X, U
 
     x1 = jax.tree.map(lambda x: x[0], pb)
-    o = rti_one(Xb[0], Ub[0], x1)
+    o = rti_one_scan(Xb[0], Ub[0], x1)
     _ = float(jnp.sum(o[0][0]))
     t0 = time.perf_counter()
-    for _ in range(10):
-        o = rti_one(Xb[0], Ub[0], x1)
+    o = rti_one_scan(Xb[0], Ub[0], x1)
     _ = float(jnp.sum(o[0][0]))
-    lat_ms = (time.perf_counter() - t0) / 10 * 1e3
+    lat_ms = (time.perf_counter() - t0) / reps * 1e3
 
     result = {
         "metric": "nmpc_solves_per_s",
@@ -95,6 +123,7 @@ def main():
         "unit": "solves/s",
         "vs_baseline": round(solves_per_s / 25.0, 2),
         "batch": batch,
+        "percall_solves_per_s": round(percall_solves_per_s, 1),
         "single_solve_latency_ms": round(lat_ms, 2),
         "compile_s": round(compile_s, 1),
         "backend": jax.default_backend(),
