@@ -84,19 +84,6 @@ def main():
         jax.profiler.stop_trace()
     solves_per_s = batch * reps / dt
 
-    # per-call dispatch-included variant (one jit call per RTI step) for
-    # reference — dominated by tunnel round-trips in this environment
-    @jax.jit
-    def rti_batch(X, U, p):
-        s = jax.vmap(lambda x, u, pp: solver.solve(x, u, pp, 1))(X, U, p)
-        return s.X, s.U
-    o = rti_batch(Xb, Ub, pb)
-    _ = float(jnp.sum(o[0][:, 0, 0]))
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        o = rti_batch(Xb, Ub, pb)
-    _ = float(jnp.sum(o[0][:, 0, 0]))
-    percall_solves_per_s = batch * reps / (time.perf_counter() - t0)
 
     # single-solve latency (batch=1) — the per-step real-time budget check.
     # Chained on-device (scan) so the number is device latency, not the
@@ -123,7 +110,6 @@ def main():
         "unit": "solves/s",
         "vs_baseline": round(solves_per_s / 25.0, 2),
         "batch": batch,
-        "percall_solves_per_s": round(percall_solves_per_s, 1),
         "single_solve_latency_ms": round(lat_ms, 2),
         "compile_s": round(compile_s, 1),
         "backend": jax.default_backend(),

@@ -50,8 +50,37 @@ GRAVITY = 9.81
 # ---------------------------------------------------------------------------
 # forward-mode dual numbers with trace-time constant folding
 # ---------------------------------------------------------------------------
+def _padt(t, w):
+    """Pad a tangent array's leading (seed-row) dim to w with zeros."""
+    wt = t.shape[0]
+    if wt == w:
+        return t
+    return jnp.concatenate(
+        [t, jnp.zeros((w - wt,) + t.shape[1:], t.dtype)], axis=0)
+
+
+def _addt(a, b):
+    """Add two variable-width tangents: rows beyond a tangent's leading dim
+    are implicitly zero, so the sum adds the overlap and carries the wider
+    tail through — the VPU work scales with the NARROW width, which is what
+    makes variable-width duals pay (q-only FK rows run at 24 rows, the
+    velocity chain at 40, only RNEA at the full 56)."""
+    if a.shape[0] > b.shape[0]:
+        a, b = b, a
+    wa = a.shape[0]
+    if wa == b.shape[0]:
+        return a + b
+    head = b[:wa] + a
+    tail = b[wa:]
+    if tail.shape[1:] != head.shape[1:]:
+        tail = jnp.broadcast_to(tail, tail.shape[:1] + head.shape[1:])
+    return jnp.concatenate([head, tail], axis=0)
+
+
 class D:
-    """value: python float OR (1, L) array; tan: 0.0 OR (TP-broadcastable, L)."""
+    """value: python float OR (1, L) array; tan: 0.0 OR a (w, 1|L) array
+    whose leading dim w <= TP is the live seed-row count (rows >= w are
+    implicitly zero; `_addt` reconciles mixed widths)."""
 
     __slots__ = ("v", "t")
 
@@ -67,7 +96,7 @@ class D:
     def __add__(self, o):
         o = o if isinstance(o, D) else D(float(o))
         v = o.v if D._is0(self.v) else (self.v if D._is0(o.v) else self.v + o.v)
-        t = o.t if D._is0(self.t) else (self.t if D._is0(o.t) else self.t + o.t)
+        t = o.t if D._is0(self.t) else (self.t if D._is0(o.t) else _addt(self.t, o.t))
         return D(v, t)
 
     __radd__ = __add__
@@ -96,7 +125,8 @@ class D:
             parts.append(self.v * o.t if not _isone(self.v) else o.t)
         if not (D._is0(self.t) or D._is0(o.v)):
             parts.append(self.t * o.v if not _isone(o.v) else self.t)
-        t = 0.0 if not parts else (parts[0] if len(parts) == 1 else parts[0] + parts[1])
+        t = 0.0 if not parts else (
+            parts[0] if len(parts) == 1 else _addt(parts[0], parts[1]))
         return D(v, t)
 
     __rmul__ = __mul__
@@ -323,6 +353,32 @@ def _dual_pass(consts, q: Sequence[D], v: Sequence[D], a: Sequence[D],
     return p_feet, v_feet, tau
 
 
+def fk_feet_dual(consts, q: Sequence[D]):
+    """Position-only dual FK: q (18 duals) -> p_feet (4 x 3 duals).
+
+    The position chain of `_dual_pass` with the velocity/RNEA work stripped:
+    tangent width is whatever the caller seeded (q-only terminal Jacobians
+    need 18 live rows, not the full 54), so ops run at ~1/3 the sublane
+    width of the full pass. Used by the Riccati kernel to build the
+    terminal-cost Gram (swing rows of ocp.problem.terminal_residual) without
+    an XLA jacfwd pass."""
+    jp, ax, _m_legs, _com_legs, _Ic_legs, foot_off, _m_t, _com_t, _I_t = consts
+    p_b = [q[0], q[1], q[2]]
+    R_b, _ = ypr_matrix(q[3], q[4], q[5])
+    p_feet = []
+    for leg in range(4):
+        q_l = [q[6 + 3 * leg + k] for k in range(3)]
+        R_p, p_p = R_b, p_b
+        for k in range(3):
+            axis = ax[leg][k]
+            cq, sq = dcos(q_l[k]), dsin(q_l[k])
+            p_k = vadd(p_p, matvec(R_p, const_vec(jp[leg][k])))
+            R_k = matmat(R_p, rodrigues(axis, cq, sq))
+            R_p, p_p = R_k, p_k
+        p_feet.append(vadd(p_p, matvec(R_p, const_vec(foot_off[leg]))))
+    return p_feet
+
+
 def _transpose(M):
     return [[M[j][i] for j in range(3)] for i in range(3)]
 
@@ -342,13 +398,20 @@ def _make_consts(spec):
             np.asarray(spec.inertia)[5])
 
 
-def _dynjac_kernel(consts, X_ref, A_ref, F_ref, prim_ref, tan_ref):
-    i32 = jnp.int32
-    ti = jax.lax.broadcasted_iota(i32, (TP, 1), 0)
+def _seed_tan(seed, w: int = TP):
+    """One-hot tangent seed at padded width w. The full passes seed at
+    w=TP: variable-width (24/40/56 by q/v/a dependence) was measured
+    perf-neutral on v5e — the `_addt` pad/concat at width joins costs what
+    the narrower multiplies save — so only single-width callers (the
+    terminal FK's q-only 24-row pass) use a narrow w."""
+    ti = jax.lax.broadcasted_iota(jnp.int32, (w, 1), 0)
+    return (ti == seed).astype(jnp.float32)
 
+
+def _dynjac_kernel(consts, X_ref, A_ref, F_ref, prim_ref, tan_ref):
     def load(ref, idx, seed):
         val = ref[idx]                                   # (1, L)
-        tan = (ti == seed).astype(jnp.float32) if seed >= 0 else 0.0
+        tan = _seed_tan(seed) if seed >= 0 else 0.0
         return D(val, tan)
 
     q = [load(X_ref, i, i) for i in range(18)]
@@ -367,7 +430,8 @@ def _dynjac_kernel(consts, X_ref, A_ref, F_ref, prim_ref, tan_ref):
         if isinstance(d.t, float):
             tan_ref[row] = jnp.zeros((TP, L), jnp.float32)
         else:
-            tan_ref[row] = jnp.broadcast_to(d.t, (TP, L)).astype(jnp.float32)
+            tan_ref[row] = jnp.broadcast_to(
+                _padt(d.t, TP), (TP, L)).astype(jnp.float32)
 
 
 def _dyncore_kernel(consts, X_ref, A_ref, F_ref, prim_ref):
@@ -478,10 +542,9 @@ def _lingram_kernel(consts, wc, include_torque,
     XLA op ever touches the 130-row Jacobian or the (67,67) Gram."""
     f32 = jnp.float32
     L = X_ref.shape[-1]
-    ti = jax.lax.broadcasted_iota(jnp.int32, (TP, 1), 0)
 
     def load(ref, idx, seed):
-        tan = (ti == seed).astype(f32) if seed >= 0 else 0.0
+        tan = _seed_tan(seed) if seed >= 0 else 0.0
         return D(ref[idx], tan)
 
     q = [load(X_ref, i, i) for i in range(18)]
@@ -497,7 +560,7 @@ def _lingram_kernel(consts, wc, include_torque,
     def t_full(d):
         if isinstance(d.t, float):
             return jnp.zeros((TP, L), f32)
-        return jnp.broadcast_to(d.t, (TP, L)).astype(f32)
+        return jnp.broadcast_to(_padt(d.t, TP), (TP, L)).astype(f32)
 
     tx = lambda d: t_full(d)[:NXL]                             # (36, L)
 

@@ -118,10 +118,60 @@ def _solve_node_unrolled(Qxx, Quu, Qux, qxp, qu):
             Qxx - C[:, :NXK], qxp - lastcol(C))
 
 
+def _terminal_gram_init(term, XN_ref, XREFE_ref, PKN_ref, SH_ref, P_s, p_s):
+    """Build the terminal value function (P_N, p_N) in VMEM from the
+    terminal state — replaces the XLA jacfwd/J^T J path of
+    sqp._linearize_terminal. Terminal residual (ocp/problem.py
+    terminal_residual): diagonal base/joint tracking rows + 4 swing rows
+    s_i * (p_z_i(q) - step_h); Gram = diag(wTe^2) + reg*I + sum s_i^2 Jz Jz^T
+    with Jz from a q-only dual FK pass (ops/dynjac_kernel.fk_feet_dual)."""
+    from .dynjac_kernel import D, _padt, fk_feet_dual
+
+    consts, wTe2, swing, reg = term
+    f32 = jnp.float32
+    i32 = jnp.int32
+    L = XN_ref.shape[-1]
+    TQ = 24                                            # padded q-tangent rows
+
+    ti = jax.lax.broadcasted_iota(i32, (TQ, 1), 0)
+    q = [D(XN_ref[i], (ti == i).astype(f32)) for i in range(18)]
+    p_feet = fk_feet_dual(consts, q)
+
+    rvx = jax.lax.broadcasted_iota(i32, (NXK, 1, 1), 0)
+    cvx = jax.lax.broadcasted_iota(i32, (1, NXK, 1), 1)
+    wcol = sum((rvx == i).astype(f32) * float(wTe2[i]) for i in range(NXK))
+    P = (rvx == cvx).astype(f32) * (wcol + float(reg))  # (36, 36, 1) -> bcast
+    P = jnp.broadcast_to(P, (NXK, NXK, L))
+    pcol = wcol * (XN_ref[...] - XREFE_ref[...])        # (36, 1, L)
+
+    cv24 = jax.lax.broadcasted_iota(i32, (1, TQ, 1), 1)
+    for i in range(4):
+        pz = p_feet[i][2]
+        t = jnp.broadcast_to(_padt(pz.t, TQ), (TQ, L)).astype(f32)
+        row = jnp.concatenate(
+            [t[None], jnp.zeros((1, NXK - TQ, L), f32)], axis=1)  # (1,36,L)
+        # column form: tangent rows moved to the untiled leading dim
+        col = sum((rvx == r).astype(f32)
+                  * jnp.sum(t[None] * (cv24 == r).astype(f32),
+                            axis=1, keepdims=True)
+                  for r in range(18))                   # (36, 1, L)
+        s = PKN_ref[i] * float(swing[i])                # (1, L)
+        ss = (s * s)[:, None, :]                        # (1, 1, L)
+        rz = (pz.v - SH_ref[0])[:, None, :]             # (1, 1, L)
+        P = P + ss * (col * row)
+        pcol = pcol + ss * rz * col
+    P_s[...] = P
+    p_s[...] = pcol
+
+
 def _riccati_kernel(h: float, lm: float, N: int, interpret: bool,
-                    unrolled: bool,
-                    Q_ref, R_ref, MT_ref, qx_ref, ru_ref, dr_ref,
-                    PN_ref, pN_ref, K_ref, kff_ref, P_s, p_s):
+                    unrolled: bool, term, *refs):
+    if term is None:
+        (Q_ref, R_ref, MT_ref, qx_ref, ru_ref, dr_ref, PN_ref, pN_ref,
+         K_ref, kff_ref, P_s, p_s) = refs
+    else:
+        (Q_ref, R_ref, MT_ref, qx_ref, ru_ref, dr_ref, XN_ref, XREFE_ref,
+         PKN_ref, SH_ref, K_ref, kff_ref, P_s, p_s) = refs
     j = pl.program_id(1)
     hh = 0.5 * h * h
 
@@ -130,8 +180,12 @@ def _riccati_kernel(h: float, lm: float, N: int, interpret: bool,
 
     @pl.when(j == 0)
     def _():
-        P_s[...] = PN_ref[...]
-        p_s[...] = pN_ref[...]
+        if term is None:
+            P_s[...] = PN_ref[...]
+            p_s[...] = pN_ref[...]
+        else:
+            _terminal_gram_init(term, XN_ref, XREFE_ref, PKN_ref, SH_ref,
+                                P_s, p_s)
 
     P = P_s[...]                    # (36, 36, L)
     pcol = p_s[...]                 # (36, 1, L)
@@ -311,7 +365,7 @@ def riccati_pallas_batched(h: float, lm: float, Q, R, M, qx_vec, ru_vec,
     ]
     Kt, kfft = pl.pallas_call(
         functools.partial(_riccati_kernel, float(h), float(lm), N, interpret,
-                          unrolled),
+                          unrolled, None),
         out_shape=[
             jax.ShapeDtypeStruct((N, NUK, NXK, Bp), f32),
             jax.ShapeDtypeStruct((N, NUK, 1, Bp), f32),
@@ -334,17 +388,22 @@ def riccati_pallas_batched(h: float, lm: float, Q, R, M, qx_vec, ru_vec,
 
 
 def riccati_pallas_lane_major(h: float, lm: float, Qt, Rt, MTt, qxt, rut,
-                              defects, P_N, p_N, *, interpret: bool = False,
+                              defects, P_N=None, p_N=None, *,
+                              terminal=None, interpret: bool = False,
                               raw_out: bool = False
                               ) -> Tuple[jax.Array, jax.Array]:
     """Fused sweep on GN blocks already in kernel layout (node-major lanes):
     Qt (N,36,36,Bp), Rt (N,32,32,Bp), MTt (N,32,36,Bp), qxt (N,36,1,Bp),
     rut (N,32,1,Bp) — exactly what ops/dynjac_kernel.lingram_lane_major
-    emits, so the two kernels chain with no repacking. defects (B,N,36),
-    P_N (B,36,36), p_N (B,36) are blasted here (small). Returns K,kff
-    batch-major (B,N,30,36)/(B,N,30)."""
+    emits, so the two kernels chain with no repacking. defects (B,N,36) is
+    blasted here (small). The terminal value function comes either
+    precomputed as P_N (B,36,36) / p_N (B,36), or — preferred — is built
+    INSIDE the kernel from `terminal=(xN (B,36), xref_e (B,36),
+    peak_N (B,4), step_h (B,), fk_consts, wTe2 (36,), swing (4,), reg)`
+    via a q-only dual FK pass (no XLA jacfwd, no (B,36,36) HBM traffic).
+    Returns K,kff batch-major (B,N,30,36)/(B,N,30)."""
     N, Bp = Qt.shape[0], Qt.shape[-1]
-    B = P_N.shape[0]
+    B = defects.shape[0]
     pad = Bp - B
     f32 = jnp.float32
 
@@ -355,8 +414,6 @@ def riccati_pallas_lane_major(h: float, lm: float, Qt, Rt, MTt, qxt, rut,
         return jnp.moveaxis(x, 0, -1)
 
     drt = blast(defects.astype(f32)[:, :, None, :])               # (N,1,36,Bp)
-    PNt = blast(P_N.astype(f32))
-    pNt = blast(p_N.astype(f32)[..., None])
 
     nb = Bp // LB
     node = lambda i, j: (N - 1 - j, 0, 0, i)
@@ -368,16 +425,33 @@ def riccati_pallas_lane_major(h: float, lm: float, Qt, Rt, MTt, qxt, rut,
         pl.BlockSpec((1, NXK, 1, LB), node, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, NUP, 1, LB), node, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, NXK, LB), node, memory_space=pltpu.VMEM),
-        pl.BlockSpec((NXK, NXK, LB), fixed, memory_space=pltpu.VMEM),
-        pl.BlockSpec((NXK, 1, LB), fixed, memory_space=pltpu.VMEM),
     ]
+    if terminal is None:
+        term = None
+        extra = [blast(P_N.astype(f32)), blast(p_N.astype(f32)[..., None])]
+        in_specs += [
+            pl.BlockSpec((NXK, NXK, LB), fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec((NXK, 1, LB), fixed, memory_space=pltpu.VMEM),
+        ]
+    else:
+        xN, xref_e, peak_N, step_h, consts, wTe2, swing, reg = terminal
+        term = (consts, wTe2, swing, reg)
+        col = lambda x: blast(x.astype(f32)[..., None])           # (d,1,Bp)
+        extra = [col(xN), col(xref_e), col(peak_N),
+                 col(step_h.reshape(-1, 1))]
+        in_specs += [
+            pl.BlockSpec((NXK, 1, LB), fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec((NXK, 1, LB), fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, 1, LB), fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, LB), fixed, memory_space=pltpu.VMEM),
+        ]
     out_specs = [
         pl.BlockSpec((1, NUK, NXK, LB), node, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, NUK, 1, LB), node, memory_space=pltpu.VMEM),
     ]
     Kt, kfft = pl.pallas_call(
         functools.partial(_riccati_kernel, float(h), float(lm), N, interpret,
-                          True),
+                          True, term),
         out_shape=[
             jax.ShapeDtypeStruct((N, NUK, NXK, Bp), f32),
             jax.ShapeDtypeStruct((N, NUK, 1, Bp), f32),
@@ -393,7 +467,7 @@ def riccati_pallas_lane_major(h: float, lm: float, Qt, Rt, MTt, qxt, rut,
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(Qt, Rt, MTt, qxt, rut, drt, PNt, pNt)
+    )(Qt, Rt, MTt, qxt, rut, drt, *extra)
     if raw_out:
         return Kt, kfft                             # lane-major, for chaining
     K = jnp.moveaxis(Kt, -1, 0)[:B]                 # (B, N, 30, 36)

@@ -386,13 +386,11 @@ class TrajOptSolver:
         fused = dynjac and self._riccati_mode == "pallas"
         if fused:
             # fully-fused TPU path: lingram kernel -> Riccati kernel chained
-            # in lane-major layout; the GN blocks never exist batch-major.
-            rT, JT = _linearize_terminal(self.spec, w, X[-1], p)
-            P_N = JT.T @ JT + self.cost.reg_eps_e * jnp.eye(NX, dtype=X.dtype)
-            p_N = JT.T @ rT
+            # in lane-major layout; the GN blocks never exist batch-major
+            # and the terminal Gram is built inside the Riccati kernel.
             defects = self._defects(X, U, p)
             dx0 = p.x0 - X[0]
-            dX1, dU1 = self._get_fused_lr()(X, U, p, P_N, p_N, defects, dx0)
+            dX1, dU1 = self._get_fused_lr()(X, U, p, defects, dx0)
             return self._merit_select(X, U, p, dX1, dU1, defects,
                                       merit_rho, alphas)
         if dynjac:
@@ -530,7 +528,9 @@ class TrajOptSolver:
         Unbatched solves keep the structured XLA path (latency at B=1)."""
         if hasattr(self, "_fused_lr"):
             return self._fused_lr
-        from ..ops.dynjac_kernel import lingram_lane_major
+        import numpy as _np
+
+        from ..ops.dynjac_kernel import _make_consts, lingram_lane_major
         from ..ops.riccati_kernel import (
             forward_rollout_lane_major, riccati_pallas_lane_major)
         from .linearize import lingram_structured
@@ -538,9 +538,21 @@ class TrajOptSolver:
         spec, w = self.spec, self.weights
         inc = self.opt.torque_limit_in_qp
         h, lm = self.dt_nodes, float(self.opt.lm_reg)
+        reg_e = float(self.cost.reg_eps_e)
+        # terminal-cost constants for the in-kernel terminal Gram (matches
+        # ocp.problem.terminal_residual: x-ordered diag weights + swing rows)
+        wb_e = _np.asarray(w.base_e, _np.float64)
+        wj_e = _np.asarray(w.joint_e, _np.float64)
+        wTe = _np.concatenate([wb_e[:6], wj_e[:12], wb_e[6:], wj_e[12:]])
+        wTe2 = wTe * wTe
+        swing_w = _np.asarray(w.swing, _np.float64)
+        fk_consts = _make_consts(spec)
 
         @jax.custom_batching.custom_vmap
-        def fused(X, U, p, P_N, p_N, defects, dx0):
+        def fused(X, U, p, defects, dx0):
+            rT, JT = _linearize_terminal(spec, w, X[-1], p)
+            P_N = JT.T @ JT + reg_e * jnp.eye(NX, dtype=X.dtype)
+            p_N = JT.T @ rT
             Q, R, M, qx_vec, ru_vec = jax.tree.map(
                 lambda x: x[0], lingram_structured(
                     spec, w, X[None], U[None],
@@ -552,7 +564,7 @@ class TrajOptSolver:
                 h, K, kff, defects, dx0, jnp.asarray(1.0, X.dtype))
 
         @fused.def_vmap
-        def _rule(axis_size, in_batched, X, U, p, P_N, p_N, defects, dx0):
+        def _rule(axis_size, in_batched, X, U, p, defects, dx0):
             def bc(x, b):
                 return x if b else jnp.broadcast_to(
                     x[None], (axis_size,) + jnp.shape(x))
@@ -560,15 +572,20 @@ class TrajOptSolver:
             X = bc(X, in_batched[0])
             U = bc(U, in_batched[1])
             p = jax.tree.map(bc, p, in_batched[2])
-            P_N = bc(P_N, in_batched[3])
-            p_N = bc(p_N, in_batched[4])
-            defects = bc(defects, in_batched[5])
-            dx0 = bc(dx0, in_batched[6])
+            defects = bc(defects, in_batched[3])
+            dx0 = bc(dx0, in_batched[4])
+            B = X.shape[0]
             Qt, Rt, MTt, qxt, rut = lingram_lane_major(
                 spec, w, X, U, p, include_torque=inc)
+            xref_e = jnp.concatenate(
+                [p.base_ref_e[:, :6], p.joint_ref, p.base_ref_e[:, 6:],
+                 jnp.zeros((B, 12), X.dtype)], axis=1)
+            terminal = (X[:, -1], xref_e, p.peak[:, :, -1],
+                        jnp.broadcast_to(jnp.asarray(p.step_height), (B,)),
+                        fk_consts, wTe2, swing_w, reg_e)
             Kt, kfft = riccati_pallas_lane_major(
-                h, lm, Qt, Rt, MTt, qxt, rut, defects, P_N, p_N,
-                raw_out=True)
+                h, lm, Qt, Rt, MTt, qxt, rut, defects,
+                terminal=terminal, raw_out=True)
             # defects-as-rows in the same lane-major layout the Riccati
             # kernel consumed (small: (N,1,36,Bp))
             Bp = Kt.shape[-1]

@@ -106,3 +106,74 @@ def test_forward_rollout_kernel_matches_oracle():
     su = max(1.0, float(jnp.max(jnp.abs(dU0))))
     np.testing.assert_allclose(np.asarray(dU1), np.asarray(dU0),
                                atol=2e-5 * su)
+
+
+def test_riccati_terminal_in_kernel_matches_xla_terminal():
+    """riccati_pallas_lane_major(terminal=...) builds (P_N, p_N) inside the
+    kernel from a q-only dual FK pass; must match the precomputed-P_N path
+    fed by sqp._linearize_terminal (the XLA jacfwd oracle)."""
+    import numpy as _np
+
+    from __graft_entry__ import _flagship
+    from iterative_learning_nmpc_tpu.ops.dynjac_kernel import _make_consts
+    from iterative_learning_nmpc_tpu.ops.riccati_kernel import (
+        riccati_pallas_lane_major)
+    from iterative_learning_nmpc_tpu.solver.sqp import NX, _linearize_terminal
+
+    solver, X, U, params = _flagship()
+    w = solver.weights
+    rng = np.random.RandomState(5)
+    B, N = 2, 4
+    Bp = 128
+
+    # lane-major random GN blocks (well-conditioned)
+    def lane(r, c, scale=1.0):
+        x = scale * rng.randn(N, r, c, Bp).astype(np.float32)
+        return jnp.asarray(x)
+
+    eye36 = np.eye(36, dtype=np.float32)[None, :, :, None]
+    eye32 = np.eye(32, dtype=np.float32)[None, :, :, None]
+    Qt = lane(36, 36, 0.05) + jnp.asarray(10.0 * eye36)
+    Rt = lane(32, 32, 0.05) + jnp.asarray(10.0 * eye32)
+    MTt = lane(32, 36, 0.02)
+    qxt, rut = lane(36, 1), lane(32, 1)
+    d = 0.01 * rng.randn(B, N, 36).astype(np.float32)
+
+    # perturbed terminal states around the flagship stance
+    xN = np.tile(np.asarray(X[-1])[None], (B, 1)).astype(np.float32)
+    xN += 0.05 * rng.randn(B, 36).astype(np.float32)
+    xref_e = np.concatenate(
+        [np.asarray(params.base_ref_e[:6]), np.asarray(params.joint_ref),
+         np.asarray(params.base_ref_e[6:]), np.zeros(12, np.float32)])
+    xref_e = np.tile(xref_e[None], (B, 1)).astype(np.float32)
+    peak_N = np.tile(np.asarray(params.peak[:, -1])[None], (B, 1))
+    peak_N = peak_N.astype(np.float32)
+    step_h = np.full((B,), float(params.step_height), np.float32)
+
+    # oracle P_N/p_N via the XLA terminal linearization
+    reg_e = float(solver.cost.reg_eps_e)
+    def pn_one(x):
+        rT, JT = _linearize_terminal(solver.spec, w, x, params)
+        return JT.T @ JT + reg_e * jnp.eye(NX, dtype=jnp.float32), JT.T @ rT
+    P_N, p_N = jax.vmap(pn_one)(jnp.asarray(xN))
+
+    K0, k0 = riccati_pallas_lane_major(
+        0.04, 1e-6, Qt, Rt, MTt, qxt, rut, jnp.asarray(d), P_N, p_N,
+        interpret=True)
+
+    wb_e = _np.asarray(w.base_e, _np.float64)
+    wj_e = _np.asarray(w.joint_e, _np.float64)
+    wTe = _np.concatenate([wb_e[:6], wj_e[:12], wb_e[6:], wj_e[12:]])
+    terminal = (jnp.asarray(xN), jnp.asarray(xref_e), jnp.asarray(peak_N),
+                jnp.asarray(step_h), _make_consts(solver.spec), wTe * wTe,
+                _np.asarray(w.swing, _np.float64), reg_e)
+    K1, k1 = riccati_pallas_lane_major(
+        0.04, 1e-6, Qt, Rt, MTt, qxt, rut, jnp.asarray(d),
+        terminal=terminal, interpret=True)
+
+    scale = max(1.0, float(jnp.max(jnp.abs(K0))))
+    np.testing.assert_allclose(np.asarray(K1), np.asarray(K0),
+                               atol=5e-5 * scale)
+    kscale = max(1.0, float(jnp.max(jnp.abs(k0))))
+    np.testing.assert_allclose(np.asarray(k1), np.asarray(k0),
+                               atol=5e-5 * kscale)
