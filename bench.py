@@ -28,7 +28,11 @@ def main():
 
     from __graft_entry__ import _flagship
 
-    batch = int(os.environ.get("BENCH_BATCH", "256"))
+    # B=512 is the measured throughput sweet spot on v5e (111k solves/s vs
+    # 106k at 256 and 111k at 1024 — scripts/profile_rti.py methodology);
+    # B>=512 needs the raised per-kernel scoped-vmem limit in
+    # ops/dynjac_kernel.lingram_lane_major.
+    batch = int(os.environ.get("BENCH_BATCH", "512"))
     # reps is the lax.scan length of the timed loop; the axon tunnel adds a
     # fixed ~25 ms per jit call, so enough steps are needed to amortize it
     # (100 steps ~ 270 ms device time => <10% overhead).

@@ -782,6 +782,10 @@ def lingram_lane_major(spec, w, Xb, Ub, pb, include_torque: bool = True,
                    outs(NXL, 1), outs(NUPL, 1)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
+            # the default 16 MiB scoped-vmem budget OOMs at B>=512 (XLA
+            # charges the double-buffered output blocks to the kernel's
+            # scoped stack); v5e has 128 MiB of VMEM
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
     )(Xn, An, Fn, CNTn, PKn, PLZn, LOCn, PATCHn, RSTRn, LAMn, XREFn, SHn)
