@@ -1,4 +1,4 @@
-"""Benchmark: NMPC solves/s on the real TPU chip.
+"""Benchmark: NMPC solves/s on the real TPU chip + the 1e-3 CPU parity gate.
 
 Prints ONE JSON line:
   {"metric": "nmpc_solves_per_s", "value": N, "unit": "solves/s",
@@ -8,18 +8,56 @@ Baseline: the reference's implied real-time budget is 25 solves/s
 (40 ms per async solve at 25 Hz replanning — BASELINE.md). The north-star
 target is >= 1000 full-horizon solves/s per chip (BASELINE.json).
 
-Regime measured: steady-state RTI (1 SQP iteration, warm-started), batch of
-perturbed Go2 trot instances at the reference's OCP size (N=25 nodes, 1 s
-horizon) — the configuration the controller runs in closed loop.
+Regime measured: steady-state RTI (1 SQP iteration, warm-started primal AND
+dual — the closed-loop regime of mpc/controller.py and learning/ondevice.py),
+batch of perturbed Go2 trot instances at the reference's OCP size (N=25
+nodes, 1 s horizon). The timed loop is a lax.scan chained on-device; the
+value reported is the MEDIAN of 3 timed runs with the spread attached
+(the axon tunnel adds +-30% noise to single wall-clock samples — CLAUDE.md).
+
+Parity gate (BASELINE.md: control sequences within 1e-3 of the CPU
+reference): the same warm-started RTI step is run once through the TPU
+Pallas path and once through the XLA CPU path (sequential Riccati + jacfwd
+linearization) on the same instance; `max_du_vs_cpu` is the max elementwise
+|dU| difference normalized by (1 + |U_cpu|) and the bench FAILS (exit 1) if
+it exceeds 1e-3. This is the only place the compiled-Mosaic kernels are
+checked numerically against XLA (unit tests cover interpret mode).
+
+As a side artifact, spawns scripts/bench_multichip.py (virtual 8-device CPU
+mesh) to write BENCH_MULTI.json: sharded-vs-single equality + scaling table.
 """
 import json
 import os
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
+
+
+def _rti_chain(solver, reps):
+    """Warm-started RTI steps chained on-device with full dual carry-over:
+    each step re-solves from the previous solution + annealed multipliers —
+    exactly how the solver runs inside on-device datagen / closed loop."""
+    import dataclasses
+
+    import jax
+
+    def chain(X, U, lam, lami, p):
+        def step(carry, _):
+            X, U, lam, lami = carry
+            pj = dataclasses.replace(p, lam_eq=lam, lam_ineq=lami)
+            s = solver.solve(X, U, pj, 1)
+            lam_new = solver.update_multipliers(s.X, s.U, pj)
+            return (s.X, s.U, lam_new, s.lam_ineq), (s.stats.cost,
+                                                     s.stats.qp_iters)
+        carry, (costs, qpi) = jax.lax.scan(
+            step, (X, U, lam, lami), None, length=reps)
+        return carry, costs[-1], qpi
+
+    return chain
 
 
 def main():
@@ -51,62 +89,104 @@ def main():
                          "x0": pb.x0 + noise})
     Xb = jnp.tile(sol.X[None], (batch, 1, 1)).at[:, 0].set(pb.x0)
     Ub = jnp.tile(sol.U[None], (batch, 1, 1))
+    lamb = jnp.zeros((batch, solver.N, 18), jnp.float32)
+    lamib = jnp.tile(sol.lam_ineq[None], (batch, 1, 1))
 
-    # Steady-state throughput: `reps` warm-started RTI steps chained inside
-    # ONE jit via lax.scan — each step re-solves from the previous solution,
-    # exactly how the solver runs inside on-device datagen / closed-loop
-    # programs (learning/ondevice.py). Keeping the loop on-device excludes
-    # the axon-tunnel dispatch gap (~2 ms/call here, ~100 us on a local
-    # chip) that a per-call loop would charge to the solver.
+    chain = _rti_chain(solver, reps)
+
     @jax.jit
-    def rti_scan(X, U, p):
-        def step(carry, _):
-            X, U = carry
-            s = jax.vmap(lambda x, u, pp: solver.solve(x, u, pp, 1))(X, U, p)
-            return (s.X, s.U), s.stats.cost
-        (X, U), costs = jax.lax.scan(step, (X, U), None, length=reps)
-        return X, U, costs[-1]
+    def rti_scan(X, U, lam, lami, p):
+        def one(x, u, l, li, pp):
+            return chain(x, u, l, li, pp)
+        return jax.vmap(one)(X, U, lam, lami, p)
 
     t0 = time.perf_counter()
-    out = rti_scan(Xb, Ub, pb)
-    _ = float(jnp.sum(out[0][:, 0, 0]))
-    compile_s = time.perf_counter() - t0
-
-    # timed steady-state loop (optionally under the JAX profiler:
-    # BENCH_PROFILE=/tmp/nmpc_trace writes a TensorBoard trace there)
-    profile_dir = os.environ.get("BENCH_PROFILE", "")
-    if profile_dir:
-        jax.profiler.start_trace(profile_dir)
+    out = rti_scan(Xb, Ub, lamb, lamib, pb)
     # NOTE: block_until_ready over the axon tunnel can return before device
     # execution completes; a scalar device->host readback is the only
     # reliable fence.
-    t0 = time.perf_counter()
-    Xb2, Ub2, cost = rti_scan(Xb, Ub, pb)
-    _ = float(jnp.sum(Xb2[:, 0, 0]))
-    dt = time.perf_counter() - t0
+    _ = float(jnp.sum(out[0][0][:, 0, 0]))
+    compile_s = time.perf_counter() - t0
+
+    # timed steady-state loop, median of 3 (optionally under the JAX
+    # profiler: BENCH_PROFILE=/tmp/nmpc_trace writes a TensorBoard trace)
+    profile_dir = os.environ.get("BENCH_PROFILE", "")
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
+    times = []
+    for _rep in range(3):
+        t0 = time.perf_counter()
+        (Xb2, Ub2, _, _), cost, qpi = rti_scan(Xb, Ub, lamb, lamib, pb)
+        _ = float(jnp.sum(Xb2[:, 0, 0]))
+        times.append(time.perf_counter() - t0)
     if profile_dir:
         jax.profiler.stop_trace()
+    dt = float(np.median(times))
+    spread_pct = 100.0 * (max(times) - min(times)) / dt
     solves_per_s = batch * reps / dt
+    qp_iters_mean = float(jnp.mean(qpi.astype(jnp.float32)))
 
+    # ---- 1e-3 parity gate: TPU Pallas path vs XLA CPU path, same step ----
+    from iterative_learning_nmpc_tpu.mpc.config import get_quadruped_config
+    from iterative_learning_nmpc_tpu.robots.go2 import go2_spec
+    from iterative_learning_nmpc_tpu.solver.sqp import TrajOptSolver
+    import dataclasses
+
+    p1 = dataclasses.replace(
+        jax.tree.map(lambda x: np.asarray(x), params),
+        lam_ineq=np.asarray(sol.lam_ineq))
+    Xw = np.asarray(solver.shift_warmstart(sol.X, sol.U, 1)[0])
+    Uw = np.asarray(solver.shift_warmstart(sol.X, sol.U, 1)[1])
+    # TPU step at the measured batch path (vmapped so the Pallas kernels run)
+    pad = jax.tree.map(lambda x: np.broadcast_to(x[None], (8,) + x.shape), p1)
+    s_tpu = jax.jit(jax.vmap(lambda x, u, p: solver.solve(x, u, p, 1)))(
+        np.broadcast_to(Xw[None], (8,) + Xw.shape),
+        np.broadcast_to(Uw[None], (8,) + Uw.shape), pad)
+    U_tpu = np.asarray(s_tpu.U[0])
+
+    _, opt_cpu, cost_cpu = get_quadruped_config("trot", "go2")
+    opt_cpu.riccati_mode = "sequential"
+    opt_cpu.linearize_mode = "jacfwd"
+    solver_cpu = TrajOptSolver(go2_spec(), opt_cpu, cost_cpu)
+    cpu_dev = jax.devices("cpu")[0]
+    with jax.default_device(cpu_dev):
+        s_cpu = jax.jit(lambda x, u, p: solver_cpu.solve(x, u, p, 1))(
+            Xw, Uw, p1)
+        U_cpu = np.asarray(s_cpu.U)
+    max_du = float(np.max(np.abs(U_tpu - U_cpu) / (1.0 + np.abs(U_cpu))))
 
     # single-solve latency (batch=1) — the per-step real-time budget check.
     # Chained on-device (scan) so the number is device latency, not the
     # axon-tunnel round trip (~5-10 ms) a per-call loop would measure.
     @jax.jit
-    def rti_one_scan(X, U, p):
-        def step(carry, _):
-            s = solver.solve(carry[0], carry[1], p, 1)
-            return (s.X, s.U), None
-        (X, U), _ = jax.lax.scan(step, (X, U), None, length=reps)
-        return X, U
+    def rti_one_scan(X, U, lam, lami, p):
+        return chain(X, U, lam, lami, p)
 
     x1 = jax.tree.map(lambda x: x[0], pb)
-    o = rti_one_scan(Xb[0], Ub[0], x1)
-    _ = float(jnp.sum(o[0][0]))
+    o = rti_one_scan(Xb[0], Ub[0], lamb[0], lamib[0], x1)
+    _ = float(jnp.sum(o[0][0][0]))
     t0 = time.perf_counter()
-    o = rti_one_scan(Xb[0], Ub[0], x1)
-    _ = float(jnp.sum(o[0][0]))
+    o = rti_one_scan(Xb[0], Ub[0], lamb[0], lamib[0], x1)
+    _ = float(jnp.sum(o[0][0][0]))
     lat_ms = (time.perf_counter() - t0) / reps * 1e3
+
+    # ---- side artifact: virtual-mesh scaling + sharded equality ----
+    multi_note = "skipped"
+    if os.environ.get("BENCH_MULTI", "1") != "0":
+        env = dict(os.environ)
+        env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                            + " --xla_force_host_platform_device_count=8").strip()
+        try:
+            r = subprocess.run(
+                [sys.executable,
+                 os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "scripts", "bench_multichip.py")],
+                env=env, capture_output=True, text=True, timeout=1800)
+            multi_note = "ok" if r.returncode == 0 else f"rc={r.returncode}"
+            if r.returncode != 0:
+                sys.stderr.write(r.stdout[-2000:] + r.stderr[-2000:])
+        except Exception as e:  # pragma: no cover
+            multi_note = f"error: {e}"
 
     result = {
         "metric": "nmpc_solves_per_s",
@@ -114,13 +194,20 @@ def main():
         "unit": "solves/s",
         "vs_baseline": round(solves_per_s / 25.0, 2),
         "batch": batch,
+        "spread_pct": round(spread_pct, 1),
         "single_solve_latency_ms": round(lat_ms, 2),
         "compile_s": round(compile_s, 1),
         "backend": jax.default_backend(),
         "device": str(jax.devices()[0]),
         "mean_cost": round(float(np.mean(np.asarray(cost))), 2),
+        "qp_iters_mean": round(qp_iters_mean, 2),
+        "max_du_vs_cpu": max_du,
+        "parity_gate_1e-3": "pass" if max_du <= 1.0e-3 else "FAIL",
+        "bench_multi": multi_note,
     }
     print(json.dumps(result))
+    if max_du > 1.0e-3:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

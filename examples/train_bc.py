@@ -43,6 +43,14 @@ def main():
     db.load_saved_database(args.dataset)
     print(f"loaded {len(db)} samples from {args.dataset}")
 
+    # OOD rows stored by PretrainDataCollection get the x5 sampling weight
+    # (reference WeightedRandomSampler, test_train_policy.py:127-134)
+    ood_mask = db.ood_array()
+    if ood_mask.any():
+        print(f"OOD rows: {int(ood_mask.sum())}/{len(db)} (x5 sampling weight)")
+    else:
+        ood_mask = None
+
     val_db = None
     if args.ood_npz:
         val_db = Database(limit=1_000_000, goal_type="vc")
@@ -64,7 +72,8 @@ def main():
 
     save_config(cfg, os.path.join(cfg.save_dir, f"config_{cfg.run_name}.yaml"))
     bc = BehavioralCloning(cfg)
-    path = bc.run(db, val_database=val_db, warm_start_path=args.warm_start)
+    path = bc.run(db, ood_mask=ood_mask, val_database=val_db,
+                  warm_start_path=args.warm_start)
     print("final policy:", path)
     print("last metrics:", bc.metrics[-1])
 

@@ -18,12 +18,13 @@ from ..models import transforms_np as tnp
 from ..mpc.controller import LocomotionMPC
 from ..sim.mujoco_sim import Simulator
 from .policy_controller import PolicyController
-
-JOINT_BOUNDS_DEG = {
-    "hip": (-70.0, 70.0),
-    "thigh": (25.0, 115.0),
-    "calf": (-155.0, -60.0),
-}
+from .safety import (
+    JOINT_BOUNDS_DEG,
+    JOINT_BOUNDS_FLAT,
+    UNSAFE_HEIGHT_BOUNDS,
+    UNSAFE_MAX_ROLL_PITCH_DEG,
+    VEL_TRACK_TOL,
+)
 
 
 class CombinedController:
@@ -77,38 +78,36 @@ class CombinedController:
         return bool(unsafe_pose or stall)
 
     def check_unsafe_state_v2(self, mj_data) -> bool:
-        """Pose + joint-limit + velocity-tracking monitor (`:367-446`)."""
+        """Pose + joint-limit + velocity-tracking monitor (`:367-446`);
+        thresholds from learning/safety.py (single source of truth)."""
         q = np.asarray(mj_data.qpos)
         v = np.asarray(mj_data.qvel)
         ypr = tnp.matrix_to_ypr(tnp.quat_wxyz_to_matrix(q[3:7]))
         roll, pitch = ypr[2], ypr[1]
+        max_rp = np.deg2rad(UNSAFE_MAX_ROLL_PITCH_DEG)
+        lo_h, hi_h = UNSAFE_HEIGHT_BOUNDS
         unsafe_pose = (
-            abs(roll) > np.deg2rad(25)
-            or abs(pitch) > np.deg2rad(25)
-            or q[2] < 0.18
-            or q[2] > 0.45
+            abs(roll) > max_rp
+            or abs(pitch) > max_rp
+            or q[2] < lo_h
+            or q[2] > hi_h
         )
         joint_deg = np.rad2deg(q[7:])
-        joint_violation = False
-        for i in range(12):
-            kind = ("hip", "thigh", "calf")[i % 3]
-            lo, hi = JOINT_BOUNDS_DEG[kind]
-            val = joint_deg[i]
-            if kind == "hip":
-                ok = lo <= val <= hi
-            else:
-                ok = lo <= val <= hi
-            if not ok:
-                joint_violation = True
-                break
+        joint_violation = bool(
+            np.any(joint_deg < JOINT_BOUNDS_FLAT[:, 0])
+            or np.any(joint_deg > JOINT_BOUNDS_FLAT[:, 1])
+        )
         vel_err = np.abs(v[:2] - self.v_des[:2])
-        unsafe_tracking = bool(np.any(vel_err > 0.10))
+        unsafe_tracking = bool(np.any(vel_err > VEL_TRACK_TOL))
         return bool(unsafe_pose or joint_violation or unsafe_tracking)
 
     def _unsafe(self, mj_data) -> bool:
         if self.monitor == "v1":
             return self.check_unsafe_state_v1(mj_data)
         if self.monitor == "dummy":
+            # test/debug mode: flip to the expert purely on sim time — lets
+            # pipeline tests exercise the switch + relabeling deterministically
+            # without engineering an actual fall
             return mj_data.time > 2.0
         return self.check_unsafe_state_v2(mj_data)
 

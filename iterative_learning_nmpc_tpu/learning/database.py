@@ -39,6 +39,9 @@ class Database:
         self.cc_goals: Optional[np.ndarray] = None
         self.traj_ids: Optional[np.ndarray] = None
         self.traj_times: Optional[np.ndarray] = None
+        # per-row OOD flag (L2-vs-time-aligned-nominal > threshold — the
+        # reference's WeightedRandomSampler x5 input, test_train_policy.py:127-134)
+        self.ood: Optional[np.ndarray] = None
 
         self.states_mean = None
         self.states_std = None
@@ -67,8 +70,10 @@ class Database:
         self.cc_goals = buf(cc_goals)
         self.traj_ids = np.zeros(self.limit, dtype=np.int64)
         self.traj_times = np.zeros(self.limit, dtype=np.float64)
+        self.ood = np.zeros(self.limit, dtype=np.bool_)
 
-    def append(self, states, actions, vc_goals=None, cc_goals=None, traj_id=None, times=None):
+    def append(self, states, actions, vc_goals=None, cc_goals=None, traj_id=None, times=None,
+               ood=None):
         if vc_goals is None and cc_goals is None:
             raise ValueError("both vc_goals and cc_goals cant be empty!")
         states = np.atleast_2d(np.asarray(states))
@@ -97,6 +102,8 @@ class Database:
             self.traj_ids[idx] = np.asarray(traj_id)
         if times is not None:
             self.traj_times[idx] = np.asarray(times)
+        if ood is not None:
+            self.ood[idx] = np.asarray(ood, dtype=bool)
 
         # stats are recomputed lazily on first use (appending is O(rows
         # added); a full-buffer rescan per append would make DAgger
@@ -132,6 +139,12 @@ class Database:
 
     def actions_array(self):
         return self.actions[self._order()]
+
+    def ood_array(self):
+        """Per-row OOD flags in logical order (all False when never set)."""
+        if self.length == 0 or self.ood is None:
+            return np.zeros(0, dtype=bool)
+        return self.ood[self._order()]
 
     def goals_array(self):
         if self.goal_type == "vc":
@@ -191,6 +204,7 @@ class Database:
                 hf.create_dataset("cc_goals", data=self.cc_goals[order])
             hf.create_dataset("traj_ids", data=self.traj_ids[order])
             hf.create_dataset("traj_times", data=self.traj_times[order])
+            hf.create_dataset("ood", data=self.ood[order])
         if config is not None:
             with open(os.path.splitext(filename)[0] + "_config.pkl", "wb") as f:
                 pickle.dump(config, f)
@@ -204,8 +218,9 @@ class Database:
             cc_goals = hf["cc_goals"][:] if "cc_goals" in hf else None
             traj_ids = hf["traj_ids"][:] if "traj_ids" in hf else None
             traj_times = hf["traj_times"][:] if "traj_times" in hf else None
+            ood = hf["ood"][:] if "ood" in hf else None
         self.append(states, actions, vc_goals=vc_goals, cc_goals=cc_goals,
-                    traj_id=traj_ids, times=traj_times)
+                    traj_id=traj_ids, times=traj_times, ood=ood)
 
     def save_as_npz(self, filename: str):
         order = self._order()

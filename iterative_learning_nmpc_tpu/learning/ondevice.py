@@ -122,6 +122,7 @@ def make_batched_mpc_rollout(
             step_height=jnp.asarray(step_h, x.dtype),
             dt=jnp.full((N,), dt_nodes, x.dtype),
             lam_eq=jnp.zeros((N, 18), x.dtype),
+            lam_ineq=jnp.zeros((N, 36), x.dtype),
         )
 
     def one_env(x0, v_des, plant_spec, terrain):
@@ -134,9 +135,13 @@ def make_batched_mpc_rollout(
         sol0 = solver.solve(Xw, Uw, p0, 6)
 
         def interval(carry, i):
-            x, X_prev, U_prev, lam, ref, alive = carry
+            x, X_prev, U_prev, lam, lami, ref, alive = carry
             p = params_for(i, x, ref, v_des)
-            p = dataclasses.replace(p, lam_eq=solver.shift_multipliers(lam, 1))
+            p = dataclasses.replace(
+                p,
+                lam_eq=solver.shift_multipliers(lam, 1),
+                lam_ineq=solver.shift_multipliers(lami, 1),
+            )
             X_ws, U_ws = solver.shift_warmstart(X_prev, U_prev, 1)
             X_ws = X_ws.at[0].set(x)
             sol = solver.solve(X_ws, U_ws, p, 1)
@@ -179,23 +184,27 @@ def make_batched_mpc_rollout(
             st_end, recs = jax.lax.scan(ctrl_step, st0, (q_plan, v_plan, tau_ff))
             x_new = jnp.concatenate([st_end.q, st_end.v])
 
-            # fall detection: freeze 'alive' once violated
+            # fall detection: freeze 'alive' once violated (thresholds from
+            # learning/safety.py — shared with the host safety monitor)
+            from .safety import FALL_HEIGHT_BOUNDS, FALL_MAX_TILT_RAD
+
             upright = (
-                (st_end.q[2] > 0.15)
-                & (st_end.q[2] < 0.5)
-                & (jnp.abs(st_end.q[4]) < 0.5)
-                & (jnp.abs(st_end.q[5]) < 0.5)
+                (st_end.q[2] > FALL_HEIGHT_BOUNDS[0])
+                & (st_end.q[2] < FALL_HEIGHT_BOUNDS[1])
+                & (jnp.abs(st_end.q[4]) < FALL_MAX_TILT_RAD)
+                & (jnp.abs(st_end.q[5]) < FALL_MAX_TILT_RAD)
             )
             alive_new = alive * upright.astype(x.dtype)
             ref_new = ref + jnp.concatenate([v_des[:2], jnp.zeros(1, x.dtype)]) * dt_nodes
             valid = jnp.full((steps,), alive_new, x.dtype)
             out = recs + (valid,)
-            return (x_new, sol.X, sol.U, lam_new, ref_new, alive_new), out
+            return (x_new, sol.X, sol.U, lam_new, sol.lam_ineq, ref_new,
+                    alive_new), out
 
         ref0 = jnp.concatenate([x0[:2], x0[3:4]])
         carry0 = (
-            x0, sol0.X, sol0.U, jnp.zeros((N, 18), x0.dtype), ref0,
-            jnp.asarray(1.0, x0.dtype),
+            x0, sol0.X, sol0.U, jnp.zeros((N, 18), x0.dtype), sol0.lam_ineq,
+            ref0, jnp.asarray(1.0, x0.dtype),
         )
         _, (Q, V, S44, A, TAU, VALID) = jax.lax.scan(
             interval, carry0, jnp.arange(n_intervals)

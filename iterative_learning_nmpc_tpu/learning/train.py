@@ -120,10 +120,7 @@ class BehavioralCloning:
         val_idx, train_idx = perm[:n_val], perm[n_val:]
 
         # sampling weights: OOD samples x ood_weight (test_train_policy.py:127-134)
-        weights = np.ones(n)
-        if ood_mask is not None:
-            weights[np.asarray(ood_mask, bool)] = cfg.ood_weight
-        w_train = weights[train_idx]
+        w_train = make_sample_weights(n, ood_mask, cfg.ood_weight)[train_idx]
         p_train = w_train / w_train.sum()
 
         key = jax.random.PRNGKey(cfg.seed)
@@ -193,6 +190,17 @@ class BehavioralCloning:
             for rec in self.metrics:
                 f.write(json.dumps(rec) + "\n")
         return final_path
+
+
+def make_sample_weights(n: int, ood_mask: Optional[np.ndarray],
+                        ood_weight: float) -> np.ndarray:
+    """Per-row sampling weights: 1 for in-distribution, `ood_weight` (x5)
+    for OOD rows — the reference's WeightedRandomSampler input
+    (`test_train_policy.py:127-134`)."""
+    weights = np.ones(n)
+    if ood_mask is not None:
+        weights[np.asarray(ood_mask, bool)] = ood_weight
+    return weights
 
 
 def compute_ood_mask(states: np.ndarray, nominal_states: np.ndarray,

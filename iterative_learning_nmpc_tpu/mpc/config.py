@@ -51,7 +51,11 @@ class MPCOptConfig:
     # SQP iterations: steady-state (RTI-style) / first solve
     max_iter: int = 1
     max_iter_first: int = 15
-    # Inner-loop (cone projection / constraint sweep) iterations per SQP step
+    # Inner QP (augmented-Lagrangian) passes per SQP iteration: each pass
+    # takes a GN step with the current inequality-hinge shifts and updates
+    # the duals s <- clip(s + g, 0, s_max), exiting early once the
+    # scale-normalized violation drops below qp_tol (solver/sqp.py:solve —
+    # the HPIPM interior-point budget role, reference mpc_opt.py:27)
     max_qp_iter: int = 6
     # Enable per-node dt optimization (reference keeps this off by default)
     enable_time_opt: bool = False
@@ -65,6 +69,9 @@ class MPCOptConfig:
     torque_limit_in_qp: bool = True
     mu: float = 0.7
     nlp_tol: float = 1.0e-1
+    # Inner-loop exit tolerance on the scale-normalized max inequality
+    # violation (cone / per-foot gravity share, torque / limit, patch / 10 cm
+    # — solver/sqp.py _ineq_scales): 1e-2 means cone <= ~0.4 N on Go2
     qp_tol: float = 1.0e-2
     # --- TPU solver knobs (replace hpipm_mode/use_cython/recompile) ---
     # Levenberg-Marquardt regularization added to the input-Hessian blocks

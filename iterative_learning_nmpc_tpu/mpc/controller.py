@@ -128,14 +128,17 @@ class LocomotionMPC:
         n_interp = self.n_interp_plan
         spec = self.spec
 
-        def plan(X_prev, U_prev, lam_prev, shift, params, n_iter):
+        def plan(X_prev, U_prev, lam_prev, lami_prev, shift, params, n_iter):
             import dataclasses as _dc
 
             X_ws, U_ws = solver.shift_warmstart(X_prev, U_prev, shift)
             X_ws = X_ws.at[0].set(params.x0)
-            # dual warm start: shift AL multipliers with the primal
+            # dual warm start: shift AL multipliers (equality + inequality)
+            # with the primal — the reference's full dual warm start
+            # (solver.py:290-342)
             lam_ws = solver.shift_multipliers(lam_prev, shift)
-            params = _dc.replace(params, lam_eq=lam_ws)
+            lami_ws = solver.shift_multipliers(lami_prev, shift)
+            params = _dc.replace(params, lam_eq=lam_ws, lam_ineq=lami_ws)
             sol = solver.solve(X_ws, U_ws, params, n_iter)
             lam_new = solver.update_multipliers(sol.X, sol.U, params)
             q_plan, v_plan, id_rep = interpolate_plan(
@@ -144,10 +147,33 @@ class LocomotionMPC:
             a_plan = sol.a[id_rep]
             f_plan = sol.f[id_rep]
             tau_ff = jax.vmap(partial(dyn.id_torques, spec))(q_plan, v_plan, a_plan, f_plan)
-            return (sol.X, sol.U, lam_new, q_plan, v_plan, a_plan, f_plan,
-                    tau_ff, sol.stats)
+            return (sol.X, sol.U, lam_new, sol.lam_ineq, q_plan, v_plan,
+                    a_plan, f_plan, tau_ff, sol.stats)
 
-        self._plan_jit = jax.jit(plan, static_argnums=5)
+        self._plan_jit = jax.jit(plan, static_argnums=6)
+
+    # ------------------------------------------------------------------
+    def warmup(self, q: Optional[np.ndarray] = None,
+               v: Optional[np.ndarray] = None) -> float:
+        """Precompile both replan jit specializations (first-solve boost and
+        RTI steady state) before entering the real-time loop, so no control
+        step ever blocks on XLA compilation (a real-time deployment API the
+        reference lacks — it blocks the 1 kHz loop on the first plan
+        instead, `mpc.py:475-599`). Returns wall seconds spent.
+
+        State is reset afterwards; the compiled executables stay cached, so
+        the next first replan only pays the device solve time."""
+        t0 = time.perf_counter()
+        if q is None:
+            q = np.asarray(self.spec.q_home, np.float64).copy()
+            q[2] += self.height_offset
+        if v is None:
+            v = np.zeros(self.nv)
+        self.optimize(q, v)       # first-solve specialization (max_iter_first)
+        self.first_solve = False
+        self.optimize(q, v)       # steady-state specialization (max_iter)
+        self.reset(reset_solver=False)
+        return time.perf_counter() - t0
 
     # ------------------------------------------------------------------
     def reset(self, reset_solver: bool = True) -> None:
@@ -175,11 +201,23 @@ class LocomotionMPC:
         self._X_prev = None
         self._U_prev = None
         self._lam_prev = None
+        self._lami_prev = None
 
-        # plots / records
+        # plots / records: realized trajectories + the time-aligned PLAN rows
+        # consumed at each step (reference plan-vs-realized plotting,
+        # `mpc.py:601-685`)
         self.q_full, self.v_full, self.a_full, self.f_full, self.tau_full = [], [], [], [], []
+        self.q_plan_full, self.v_plan_full = [], []
+        self.a_plan_full, self.f_plan_full = [], []
+        self.tau_plan_full, self.dt_plan_full = [], []
+        self._last_dt_sol = np.full(self.config_opt.n_nodes, self.dt_nodes)
+        self._last_base_ref = np.zeros(12)
+        self._last_base_ref_e = np.zeros(12)
+        self._last_cnt_loc = None
         self.timings = defaultdict(list)
 
+        if getattr(self, "executor", None) is not None:
+            self.executor.shutdown(wait=False, cancel_futures=True)
         self.executor = ThreadPoolExecutor(max_workers=1)
         self.optimize_future: Future = Future()
         self.plan_submitted = False
@@ -302,6 +340,10 @@ class LocomotionMPC:
             base_ref, base_ref_e = self.compute_base_ref_cnt_restricted(q, cnt_loc)
         else:
             base_ref, base_ref_e = self.compute_base_ref_vel_tracking(q)
+        # stash for scene-overlay rendering (sim/visual.py MPCVisualCallback)
+        self._last_base_ref = base_ref.copy()
+        self._last_base_ref_e = base_ref_e.copy()
+        self._last_cnt_loc = None if cnt_loc is None else np.asarray(cnt_loc).copy()
 
         x0 = np.concatenate([q, v]).astype(np.float32)
         plane = np.zeros((4, N + 1, 3), dtype=np.float32)
@@ -335,16 +377,25 @@ class LocomotionMPC:
         if self._X_prev is None:
             X_prev, U_prev = jax.jit(self.solver.cold_start)(params)
             lam_prev = np.zeros((N, 18), np.float32)
+            lami_prev = np.zeros((N, 36), np.float32)
             shift = 0
         else:
             X_prev, U_prev = self._X_prev, self._U_prev
-            lam_prev = self._lam_prev
+            lam_prev, lami_prev = self._lam_prev, self._lami_prev
             shift = node - self.last_node
         n_iter = self.config_opt.max_iter_first if self.first_solve else self.config_opt.max_iter
 
-        out = self._plan_jit(X_prev, U_prev, lam_prev, jnp.asarray(shift), params, n_iter)
-        X, U, lam, q_plan, v_plan, a_plan, f_plan, tau_ff, stats = jax.block_until_ready(out)
-        self._X_prev, self._U_prev, self._lam_prev = X, U, lam
+        out = self._plan_jit(X_prev, U_prev, lam_prev, lami_prev,
+                             jnp.asarray(shift), params, n_iter)
+        (X, U, lam, lami, q_plan, v_plan, a_plan, f_plan, tau_ff,
+         stats) = jax.block_until_ready(out)
+        self._X_prev, self._U_prev = X, U
+        self._lam_prev, self._lami_prev = lam, lami
+        U_np = np.asarray(U)
+        self._last_dt_sol = (
+            U_np[:, 30] if U_np.shape[-1] > 30
+            else np.full(N, self.dt_nodes)
+        )
         self.last_node = node
         if not np.isfinite(np.asarray(stats.cost)):
             raise RuntimeError(f"solver diverged: {stats}")
@@ -448,6 +499,14 @@ class LocomotionMPC:
             Kp, Kd = self.Kp, self.Kd
             self.q_full.append(q.copy())
             self.v_full.append(v.copy())
+            # time-aligned plan rows for the plan-vs-realized overlays
+            k = self.plan_step
+            self.q_plan_full.append(self.q_plan[k].copy())
+            self.v_plan_full.append(self.v_plan[k].copy())
+            self.a_plan_full.append(self.a_plan[k].copy())
+            self.f_plan_full.append(self.f_plan[k].copy())
+            self.tau_plan_full.append(self.tau_ff_plan[k].copy())
+            self.dt_plan_full.append(float(self._last_dt_sol[0]))
             self._step()
 
         torques_pd = (
@@ -482,27 +541,60 @@ class LocomotionMPC:
         return np.array(q_traj)
 
     def plot_traj(self, var_name: str, save_path: Optional[str] = None):
-        """Plot a recorded trajectory ('q', 'v', 'tau') over time, 3 columns
-        per row (reference `mpc.py:630-683`)."""
+        """Plot a recorded trajectory over time, 3 columns per row, with the
+        time-aligned PLAN overlaid where both exist (reference `plot_traj` +
+        `plot_current_vs_plan`, `mpc.py:601-685`).
+
+        'q'/'v'/'tau': realized (solid) + plan (dashed) overlay.
+        'a'/'f'/'dt': plan quantities (no realized measurement exists).
+        """
         import matplotlib
 
         matplotlib.use("Agg", force=False)
         import matplotlib.pyplot as plt
 
-        traj_attr = {"q": "q_full", "v": "v_full", "tau": "tau_full"}.get(var_name)
-        if traj_attr is None or not getattr(self, traj_attr):
+        spec_map = {
+            "q": ("q_full", "q_plan_full"),
+            "v": ("v_full", "v_plan_full"),
+            "tau": ("tau_full", "tau_plan_full"),
+            "a": (None, "a_plan_full"),
+            "f": (None, "f_plan_full"),
+            "dt": (None, "dt_plan_full"),
+        }
+        if var_name not in spec_map:
             raise ValueError(f"No recorded trajectory for '{var_name}'."
-                             " Choose from: 'q', 'v', 'tau'.")
-        traj = np.vstack(getattr(self, traj_attr))
-        N, D = traj.shape
+                             f" Choose from: {sorted(spec_map)}.")
+        real_attr, plan_attr = spec_map[var_name]
+
+        def stack(attr):
+            rows = getattr(self, attr, None)
+            if not rows:
+                return None
+            arr = np.asarray(rows)
+            if arr.ndim == 1:
+                arr = arr[:, None]
+            return arr.reshape(arr.shape[0], -1)
+
+        traj = stack(real_attr) if real_attr else None
+        plan = stack(plan_attr)
+        base = traj if traj is not None else plan
+        if base is None:
+            raise ValueError(f"No recorded data for '{var_name}' yet.")
+        N, D = base.shape
         t = np.arange(N) * self.sim_dt
         rows = (D + 2) // 3
         fig, axs = plt.subplots(rows, 3, figsize=(15, 3 * rows))
         axs = np.atleast_1d(axs).ravel()
         for i in range(D):
-            axs[i].plot(t, traj[:, i])
+            if traj is not None:
+                axs[i].plot(t, traj[:, i], label="realized")
+            if plan is not None:
+                tp = np.arange(plan.shape[0]) * self.sim_dt
+                axs[i].plot(tp, plan[:, i], "--", label="plan")
             axs[i].set_title(f"{var_name}[{i}]")
             axs[i].grid(True)
+            if i == 0 and traj is not None and plan is not None:
+                axs[i].legend(loc="best", fontsize=8)
         for i in range(D, len(axs)):
             fig.delaxes(axs[i])
         fig.tight_layout()

@@ -36,6 +36,16 @@ from ..robots.spec import RobotSpec
 NX = 36
 NU = 30
 N_FOOT = 4
+# Inequality-multiplier rows per node: friction-cone 4x5, torque 12, patch 4.
+# The multipliers are stored as augmented-Lagrangian SHIFTS s = mu/rho >= 0 in
+# PHYSICAL units (N / Nm / m): the hinge max(g, 0) becomes max(g + s, 0) and
+# the dual update is s <- clip(s + g, 0, s_max) — the functional counterpart
+# of HPIPM's inequality duals (reference `solver.py:290-342` warm-starts them;
+# `config_abstract.py:59-74` bounds the inner QP work via max_qp_iter/qp_tol).
+NC_CONE = 20
+NC_TORQUE = 12
+NC_PATCH = 4
+NC_INEQ = NC_CONE + NC_TORQUE + NC_PATCH
 
 
 @jax.tree_util.register_dataclass
@@ -67,6 +77,11 @@ class OCPParams:
     # residual space. Warm-start-shifted between solves — the role of the
     # reference's dual warm start (solver.py:290-342).
     lam_eq: jax.Array        # (N, 18)
+    # AL shifts for the inequality hinge rows (cone 20 | torque 12 | patch 4
+    # per node, physical units, >= 0 — see NC_* above). Updated inside
+    # TrajOptSolver.solve's inner QP loop (max_qp_iter/qp_tol budget) and
+    # warm-start-shifted between solves like lam_eq.
+    lam_ineq: jax.Array      # (N, NC_INEQ)
 
 
 @jax.tree_util.register_dataclass
@@ -181,6 +196,40 @@ def dynamics_matrices(dt, dtype=jnp.float32):
     return A, B
 
 
+def cone_values(f_eff, mu):
+    """Raw pyramid friction-cone constraint values g <= 0, shape (4, 5):
+    per-foot rows [-fz, fx - mu fz, -fx - mu fz, fy - mu fz, -fy - mu fz]
+    (the reference's PointContact cone, `dynamics.py:30-32` mu=0.8 there,
+    opt-config mu here)."""
+    fx, fy, fz = f_eff[..., 0], f_eff[..., 1], f_eff[..., 2]
+    return jnp.stack(
+        [-fz, fx - mu * fz, -fx - mu * fz, fy - mu * fz, -fy - mu * fz],
+        axis=-1,
+    )
+
+
+def hinge_shifted(g, s):
+    """AL-shifted inequality residual core for g <= 0 with dual shift s >= 0.
+
+    s == 0 (inactive estimate): plain hinge max(g, 0).
+    s > 0  (active estimate):   TWO-SIDED affine residual (g + s) — the
+    semismooth/active-set treatment. Same AL fixed point (dual update drives
+    g -> 0), but the quadratic curvature exists on BOTH sides of the
+    boundary, killing the hinge chatter a single inexact-GN step otherwise
+    exhibits at active constraints (feasible pass -> zero curvature ->
+    overshoot into violation -> repeat; measured as a persistent 2-cycle on
+    the mu=0.25 trot before this treatment)."""
+    on = jnp.asarray(s > 0.0, g.dtype)
+    return on * (g + s) + (1.0 - on) * jnp.maximum(g, 0.0)
+
+
+def hinge_shifted_act(g, s):
+    """Activity mask matching hinge_shifted's derivative: 1 where s > 0
+    (two-sided affine row), else the plain hinge activity (g > 0)."""
+    on = jnp.asarray(s > 0.0, g.dtype)
+    return on + (1.0 - on) * jnp.asarray(g > 0.0, g.dtype)
+
+
 def _base_joint_residuals(x, base_ref, joint_ref, w_base, w_joint):
     q, v = split_state(x)
     rb = jnp.concatenate([q[:6] - base_ref[:6], v[:6] - base_ref[6:]]) * w_base
@@ -203,6 +252,7 @@ def stage_residual(
     joint_ref: jax.Array,
     step_height: jax.Array,
     lam_k: jax.Array = None,   # (18,) AL multipliers (weighted space)
+    lam_ineq_k: jax.Array = None,  # (NC_INEQ,) AL hinge shifts (physical)
     include_torque: bool = True,
     core: Tuple[jax.Array, jax.Array, jax.Array] = None,
 ) -> jax.Array:
@@ -258,7 +308,13 @@ def stage_residual(
     # patch the foot is free; the quadratic r_disp above is the soft pull
     d_xy = p_feet[:, :2] - cnt_loc_k[:, :2]
     dist = jnp.sqrt(jnp.sum(d_xy * d_xy, axis=1) + 1.0e-12)
-    r_patch = restrict * cnt_k * jnp.maximum(dist - patch_k, 0.0) * w.patch
+    gap_patch = dist - patch_k
+    if lam_ineq_k is not None:
+        r_patch_core = hinge_shifted(gap_patch,
+                                     lam_ineq_k[NC_CONE + NC_TORQUE:])
+    else:
+        r_patch_core = jnp.maximum(gap_patch, 0.0)
+    r_patch = restrict * cnt_k * r_patch_core * w.patch
 
     # --- whole-body dynamics consistency on the unactuated base rows ---
     # rnea(q,v,a,f)[0:6] == 0 is exactly the centroidal-momentum balance
@@ -283,17 +339,16 @@ def stage_residual(
         r_cnt = r_cnt + jnp.repeat(cnt_k, 3) * lam_k[6:]
 
     # --- friction cone (pyramid) hinge: |f_xy| <= mu f_z, f_z >= 0 ---
-    fx, fy, fz = f_eff[:, 0], f_eff[:, 1], f_eff[:, 2]
-    cone = jnp.stack(
-        [
-            jnp.maximum(-fz, 0.0),
-            jnp.maximum(fx - w.mu * fz, 0.0),
-            jnp.maximum(-fx - w.mu * fz, 0.0),
-            jnp.maximum(fy - w.mu * fz, 0.0),
-            jnp.maximum(-fy - w.mu * fz, 0.0),
-        ],
-        axis=1,
-    ).reshape(-1) * w.cone
+    # AL dual shifts (hinge_shifted): at the annealed fixed point the true
+    # violation goes to ~0 (the bounded-violation role of HPIPM's
+    # interior-point iterations). Shifts are masked by cnt so swing nodes
+    # (vacuous cone) contribute no constant residual.
+    g_cone = cone_values(f_eff, w.mu)
+    if lam_ineq_k is not None:
+        s_c = cnt_k[:, None] * lam_ineq_k[:NC_CONE].reshape(4, 5)
+        cone = hinge_shifted(g_cone, s_c).reshape(-1) * w.cone
+    else:
+        cone = jnp.maximum(g_cone, 0.0).reshape(-1) * w.cone
 
     # --- swing feet stay above the ground plane ---
     r_clear = (1.0 - cnt_k) * jnp.maximum(plane_k[:, 2] - p_feet[:, 2], 0.0) * w.swing_clear
@@ -312,9 +367,13 @@ def stage_residual(
 
     if include_torque:
         # --- torque limits, from the same RNEA pass (config_abstract.py:67-69) ---
-        parts.append(
-            jnp.maximum(jnp.abs(tau_full[6:]) - spec.torque_limit, 0.0) * w.torque
-        )
+        g_tau = jnp.abs(tau_full[6:]) - spec.torque_limit
+        if lam_ineq_k is not None:
+            r_tau = hinge_shifted(g_tau,
+                                  lam_ineq_k[NC_CONE:NC_CONE + NC_TORQUE])
+        else:
+            r_tau = jnp.maximum(g_tau, 0.0)
+        parts.append(r_tau * w.torque)
 
     return jnp.concatenate(parts)
 
@@ -344,6 +403,7 @@ def stage_residual_from_params(spec, w, x, u, p: OCPParams, k: int):
         p.cnt[:, k], p.peak[:, k], p.plane_point[:, k], p.cnt_loc[:, k],
         p.patch_radius[:, k],
         p.restrict, p.base_ref, p.joint_ref, p.step_height, p.lam_eq[k],
+        p.lam_ineq[k],
     )
 
 
@@ -362,3 +422,32 @@ def equality_residuals(spec: RobotSpec, w: Weights, x, u, cnt_k, plane_k):
     r_cnt = (cnt_k[:, None] * jnp.concatenate([pin_xy, pin_z[:, None]], axis=1)
              ).reshape(-1) * w.contact_vel
     return jnp.concatenate([r_dyn, r_cnt])
+
+
+def ineq_values(spec: RobotSpec, w: Weights, x, u, cnt_k, cnt_loc_k, patch_k,
+                restrict, core: Tuple[jax.Array, jax.Array] = None):
+    """Raw inequality constraint values g (NC_INEQ,) for one node, in
+    PHYSICAL units (cone rows in N, torque rows in Nm, patch rows in m),
+    ordered [cone 20 | torque 12 | patch 4] like OCPParams.lam_ineq.
+
+    Cone rows are evaluated on f_eff = cnt*f so swing nodes read 0; patch
+    rows carry the restrict*cnt vacuity mask. Used by the AL dual update
+    s <- clip(s + g, 0, s_max) and the qp_tol violation metric
+    (TrajOptSolver.update_ineq_multipliers).
+
+    `core`, when given, is (p_feet (4,3), tau_full (18)) from the fused
+    primal-dynamics kernel (linearize.ineq_g_dyncore)."""
+    q, v = split_state(x)
+    a, f = split_input(u)
+    f_eff = cnt_k[:, None] * f
+    if core is None:
+        p_feet = dyn.foot_positions(spec, q)
+        tau_full = dyn.rnea(spec, q, v, a, f_ext_feet=f_eff)
+    else:
+        p_feet, tau_full = core
+    g_cone = cone_values(f_eff, w.mu).reshape(-1)
+    g_tau = jnp.abs(tau_full[6:]) - spec.torque_limit
+    d_xy = p_feet[:, :2] - cnt_loc_k[:, :2]
+    dist = jnp.sqrt(jnp.sum(d_xy * d_xy, axis=1) + 1.0e-12)
+    g_patch = restrict * cnt_k * (dist - patch_k)
+    return jnp.concatenate([g_cone, g_tau, g_patch])

@@ -534,7 +534,7 @@ def _make_wconsts(spec, w):
 
 def _lingram_kernel(consts, wc, include_torque,
                     X_ref, A_ref, F_ref, CNT_ref, PK_ref, PLZ_ref, LOC_ref,
-                    PATCH_ref, RSTR_ref, LAM_ref, XREF_ref, SH_ref,
+                    PATCH_ref, RSTR_ref, LAM_ref, LAMI_ref, XREF_ref, SH_ref,
                     Q_ref, R_ref, MT_ref, qx_ref, ru_ref):
     """One (node x 128-problem) block: dual-number dynamics pass + the whole
     Gram condensation of solver/linearize.lingram_structured, accumulated in
@@ -635,13 +635,17 @@ def _lingram_kernel(consts, wc, include_torque,
         acc_x(sc * jp_x, sc * (px - LOC_ref[2 * i]))
         acc_x(sc * jp_y, sc * (py - LOC_ref[2 * i + 1]))
 
-        # patch-radius hinge row
+        # patch-radius hinge row (AL-shifted — LAMI rows 32..35; s>0 rows
+        # use the two-sided affine residual, see ocp.problem.hinge_shifted)
         dx_, dy_ = px - LOC_ref[2 * i], py - LOC_ref[2 * i + 1]
         dist = jnp.sqrt(dx_ * dx_ + dy_ * dy_ + 1.0e-12)
-        act = (dist - PATCH_ref[i] > 0.0).astype(f32)
+        gap_p = dist - PATCH_ref[i]
+        s_p = LAMI_ref[32 + i]
+        on = (s_p > 0.0).astype(f32)
+        act = on + (1.0 - on) * (gap_p > 0.0).astype(f32)
+        resid = on * (gap_p + s_p) + (1.0 - on) * jnp.maximum(gap_p, 0.0)
         scp = restrict * cnt[i] * wc["patch"]
-        acc_x((scp * act / dist) * (dx_ * jp_x + dy_ * jp_y),
-              scp * jnp.maximum(dist - PATCH_ref[i], 0.0))
+        acc_x((scp * act / dist) * (dx_ * jp_x + dy_ * jp_y), scp * resid)
 
         # contact-pin rows (xy velocity + stabilized z)
         scc = cnt[i] * wc["contact_vel"]
@@ -672,9 +676,14 @@ def _lingram_kernel(consts, wc, include_torque,
         else:
             tl = wc["tlim"][r - 6]
             tv = tau[r].v
-            hinge = jnp.abs(tv) - tl
-            sc = ((hinge > 0.0).astype(f32) * jnp.sign(tv) * wc["torque"])
-            s = wc["torque"] * jnp.maximum(hinge, 0.0)
+            # AL-shifted torque hinge (LAMI rows 20..31; two-sided when s>0)
+            gap_t = jnp.abs(tv) - tl
+            s_t = LAMI_ref[20 + r - 6]
+            on = (s_t > 0.0).astype(f32)
+            act = on + (1.0 - on) * (gap_t > 0.0).astype(f32)
+            sc = act * jnp.sign(tv) * wc["torque"]
+            s = wc["torque"] * (on * (gap_t + s_t)
+                                + (1.0 - on) * jnp.maximum(gap_t, 0.0))
         u_x = sc * t[:NXL]
         f_cols = [(-sc) * cnt[ic // 3] * vft[ic][r:r + 1] for ic in range(12)]
         u_u = jnp.concatenate([sc * t[NXL:NXL + 18]] + f_cols, axis=0)
@@ -698,12 +707,17 @@ def _lingram_kernel(consts, wc, include_torque,
         ]
         zhead = jnp.zeros((18 + 3 * i, L), f32)
         ztail = jnp.zeros((9 - 3 * i, L), f32) if i < 3 else None
-        for g_val, grad in rows:
-            act = (g_val > 0.0).astype(f32) * wcn
+        for ri, (g_val, grad) in enumerate(rows):
+            # AL-shifted cone hinge (LAMI rows 0..19, cnt-masked shift;
+            # two-sided affine row when s>0 — ocp.problem.hinge_shifted)
+            s_c = cnt[i] * LAMI_ref[5 * i + ri]
+            on = (s_c > 0.0).astype(f32)
+            act = (on + (1.0 - on) * (g_val > 0.0).astype(f32)) * wcn
             u3 = [jnp.broadcast_to(act * g, (1, L)) for g in grad]
             parts = [zhead] + u3 + ([ztail] if ztail is not None else [])
             u_u = jnp.concatenate(parts, axis=0)               # (30, L)
-            s = wc["cone"] * jnp.maximum(g_val, 0.0)
+            s = wc["cone"] * (on * (g_val + s_c)
+                              + (1.0 - on) * jnp.maximum(g_val, 0.0))
             Ra = Ra + outer(u_u, u_u)
             rua = rua + (u_u * s)[:, None, :]
 
@@ -752,6 +766,7 @@ def lingram_lane_major(spec, w, Xb, Ub, pb, include_torque: bool = True,
     PATCHn = prep(jnp.swapaxes(pb.patch_radius[:, :, :N], 1, 2))
     RSTRn = prep(bN(pb.restrict[:, None]))
     LAMn = prep(pb.lam_eq)
+    LAMIn = prep(pb.lam_ineq)
     xref = jnp.concatenate(
         [pb.base_ref[:, :6], pb.joint_ref, pb.base_ref[:, 6:],
          jnp.zeros((B, 12), Xb.dtype)], axis=1)
@@ -777,7 +792,7 @@ def lingram_lane_major(spec, w, Xb, Ub, pb, include_torque: bool = True,
         ],
         grid=(N * nb,),
         in_specs=[ins(36), ins(18), ins(12), ins(4), ins(4), ins(4), ins(8),
-                  ins(4), ins(1), ins(18), ins(36), ins(1)],
+                  ins(4), ins(1), ins(18), ins(36), ins(36), ins(1)],
         out_specs=[outs(NXL, NXL), outs(NUPL, NUPL), outs(NUPL, NXL),
                    outs(NXL, 1), outs(NUPL, 1)],
         compiler_params=pltpu.CompilerParams(
@@ -788,7 +803,8 @@ def lingram_lane_major(spec, w, Xb, Ub, pb, include_torque: bool = True,
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(Xn, An, Fn, CNTn, PKn, PLZn, LOCn, PATCHn, RSTRn, LAMn, XREFn, SHn)
+    )(Xn, An, Fn, CNTn, PKn, PLZn, LOCn, PATCHn, RSTRn, LAMn, LAMIn, XREFn,
+      SHn)
 
 
 def dynjac_pallas(spec, X_nodes, A_nodes, Fe_nodes, *, interpret: bool = False):

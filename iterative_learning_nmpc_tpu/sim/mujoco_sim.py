@@ -146,12 +146,17 @@ class Simulator:
         stop_on_fall: bool = True,
         video_path: Optional[str] = None,
         video_fps: int = 25,
+        visual_callback=None,
     ) -> SimResult:
         """Step the plant at sim_dt, querying the controller every step.
 
         video_path: optional .npz (frame stack) / .gif output rendered with
         mujoco.Renderer at video_fps (skipped with a warning when no
         offscreen GL context is available — headless images).
+        visual_callback: optional sim.visual.VisualCallback — appends scene
+        overlay markers (planned contacts, base-ref boxes, force arrows,
+        expert/learner color) to each rendered frame (the reference's
+        mj_pin VisualCallback role, `Rollout_MPC.py:74-128`).
         """
         renderer, frames, frame_every = None, [], 0
         if video_path is not None:
@@ -192,6 +197,10 @@ class Simulator:
 
             if renderer is not None and step % frame_every == 0:
                 renderer.update_scene(self.data)
+                if visual_callback is not None:
+                    scene = getattr(renderer, "scene", None)
+                    if scene is not None:
+                        visual_callback.render(scene, self.data)
                 frames.append(renderer.render().copy())
 
             if stop_on_fall and self._bad_collision():

@@ -32,7 +32,17 @@ import jax
 import jax.numpy as jnp
 
 from ..models import dynamics as dyn
-from ..ocp.problem import NU, NX, OCPParams, Weights, split_input, split_state
+from ..ocp.problem import (
+    NU,
+    NX,
+    OCPParams,
+    Weights,
+    cone_values,
+    hinge_shifted,
+    hinge_shifted_act,
+    split_input,
+    split_state,
+)
 
 N_FOOT = 4
 
@@ -71,7 +81,8 @@ _CONE_MU_MASK = np.asarray([0.0, 1.0, 1.0, 1.0, 1.0])  # rows using mu*fz
 
 def linearize_stage_fast(spec, w: Weights, x, u, cnt_k, peak_k, plane_k,
                          cnt_loc_k, patch_k, restrict, step_height,
-                         Jx_const, Ju_const, include_torque: bool = True):
+                         Jx_const, Ju_const, lam_ineq_k=None,
+                         include_torque: bool = True):
     """(Jx, Ju) for one node, rows ordered exactly as
     ocp.problem.stage_residual (no dt slot)."""
     q, v = split_state(x)
@@ -98,23 +109,31 @@ def linearize_stage_fast(spec, w: Weights, x, u, cnt_k, peak_k, plane_k,
     return assemble_stage_jacobian(
         spec, w, x, u, cnt_k, peak_k, plane_k, cnt_loc_k, patch_k, restrict,
         p_feet, tau, Jp, Jvf, Jt_x, Jt_a, Jt_f, Jx_const, Ju_const,
-        include_torque,
+        include_torque, lam_ineq_k=lam_ineq_k,
     )
 
 
 def assemble_stage_jacobian(spec, w: Weights, x, u, cnt_k, peak_k, plane_k,
                             cnt_loc_k, patch_k, restrict,
                             p_feet, tau, Jp, Jvf, Jt_x, Jt_a, Jt_f,
-                            Jx_const, Ju_const, include_torque: bool):
+                            Jx_const, Ju_const, include_torque: bool,
+                            lam_ineq_k=None):
     """Assemble (Jx, Ju) from the dynamics core and its Jacobians.
 
     Jp/Jvf: (4, 3, NX); Jt_x: (n_tau, NX); Jt_a: (n_tau, 18);
     Jt_f: (n_tau, 12) wrt f_eff (scaled by cnt below). Shared by the jacrev
     path above and the fused Pallas kernel path (linearize_stages_dynjac).
-    """
+    lam_ineq_k shifts the hinge activity tests (AL duals — see
+    ocp.problem.stage_residual)."""
     dtype = x.dtype
     f_eff = cnt_k[:, None] * split_input(u)[1]
     cnt12 = jnp.repeat(cnt_k, 3)
+    if lam_ineq_k is None:
+        s_cone = s_tau = s_patch = 0.0
+    else:
+        s_cone = cnt_k[:, None] * lam_ineq_k[:20].reshape(4, 5)
+        s_tau = lam_ineq_k[20:32]
+        s_patch = lam_ineq_k[32:36]
 
     # rf: diag(cnt ⊗ w.f_reg) on the f columns; rf_zero: diag((1-cnt) ⊗ 1)
     f_diag = (cnt_k[:, None] * jnp.asarray(w.f_reg)).reshape(-1)
@@ -133,7 +152,7 @@ def assemble_stage_jacobian(spec, w: Weights, x, u, cnt_k, peak_k, plane_k,
     d_xy = p_feet[:, :2] - cnt_loc_k[:, :2]
     dist = jnp.sqrt(jnp.sum(d_xy * d_xy, axis=1) + 1.0e-12)
     unit = d_xy / dist[:, None]
-    patch_act = (dist - patch_k > 0.0).astype(dtype)
+    patch_act = hinge_shifted_act(dist - patch_k, s_patch)
     patch_Jx = (restrict * cnt_k * w.patch * patch_act)[:, None] * jnp.einsum(
         "ij,ijx->ix", unit, Jp[:, :2, :]
     )
@@ -151,17 +170,7 @@ def assemble_stage_jacobian(spec, w: Weights, x, u, cnt_k, peak_k, plane_k,
     cnt_Jx = cnt_Jx.reshape(12, NX)
 
     # cone hinges (f columns only): per-foot 5x3 gradients, block-diagonal
-    fx, fy, fz = f_eff[:, 0], f_eff[:, 1], f_eff[:, 2]
-    acts = jnp.stack(
-        [
-            (-fz > 0.0),
-            (fx - w.mu * fz > 0.0),
-            (-fx - w.mu * fz > 0.0),
-            (fy - w.mu * fz > 0.0),
-            (-fy - w.mu * fz > 0.0),
-        ],
-        axis=1,
-    ).astype(dtype)                                      # (4, 5)
+    acts = hinge_shifted_act(cone_values(f_eff, w.mu), s_cone)      # (4, 5)
     g_xy = jnp.asarray(_CONE_XY, dtype)                  # (5, 2)
     g_z = jnp.asarray(_CONE_Z, dtype) * (
         jnp.asarray(_CONE_MU_MASK, dtype) * w.mu
@@ -198,9 +207,10 @@ def assemble_stage_jacobian(spec, w: Weights, x, u, cnt_k, peak_k, plane_k,
         zU(4),
     ]
     if include_torque:
-        # torque-limit hinge: max(|tau_j| - limit, 0) * w.torque
+        # torque-limit hinge (AL-shifted activity — see ocp.problem)
         tau_j = tau[6:]
-        t_act = (jnp.abs(tau_j) - jnp.asarray(spec.torque_limit) > 0.0)
+        t_act = hinge_shifted_act(
+            jnp.abs(tau_j) - jnp.asarray(spec.torque_limit), s_tau) > 0.0
         t_scale = (t_act.astype(dtype) * jnp.sign(tau_j) * w.torque)[:, None]
         x_parts.append(t_scale * Jt_x[6:])
         u_parts.append(t_scale * jnp.concatenate(
@@ -217,17 +227,17 @@ def linearize_stages_fast(spec, w: Weights, X, U, p: OCPParams,
 
     N = U.shape[0]
 
-    def res_one(x, u, cnt, peak, plane, cnt_loc, patch, lam):
+    def res_one(x, u, cnt, peak, plane, cnt_loc, patch, lam, lami):
         return stage_residual(
             spec, w, x, u, cnt, peak, plane, cnt_loc, patch,
             p.restrict, p.base_ref, p.joint_ref, p.step_height, lam_k=lam,
-            include_torque=include_torque,
+            lam_ineq_k=lami, include_torque=include_torque,
         )
 
-    def jac_one(x, u, cnt, peak, plane, cnt_loc, patch):
+    def jac_one(x, u, cnt, peak, plane, cnt_loc, patch, lami):
         return linearize_stage_fast(
             spec, w, x, u, cnt, peak, plane, cnt_loc, patch,
-            p.restrict, p.step_height, Jx_const, Ju_const,
+            p.restrict, p.step_height, Jx_const, Ju_const, lam_ineq_k=lami,
             include_torque=include_torque,
         )
 
@@ -237,9 +247,9 @@ def linearize_stages_fast(spec, w: Weights, X, U, p: OCPParams,
     loc_n = p.cnt_loc[:, :N].transpose(1, 0, 2)
     patch_n = p.patch_radius[:, :N].T
     r = jax.vmap(res_one)(X[:-1], U, cnt_n, peak_n, plane_n, loc_n, patch_n,
-                          p.lam_eq)
+                          p.lam_eq, p.lam_ineq)
     Jx, Ju = jax.vmap(jac_one)(X[:-1], U, cnt_n, peak_n, plane_n, loc_n,
-                               patch_n)
+                               patch_n, p.lam_ineq)
     return r, Jx, Ju
 
 
@@ -288,36 +298,38 @@ def linearize_stages_dynjac(spec, w: Weights, Xb, Ub, pb: OCPParams,
     loc_n = jnp.moveaxis(pb.cnt_loc[:, :, :N], 2, 1)
     patch_n = jnp.swapaxes(pb.patch_radius[:, :, :N], 1, 2)
 
-    def res_one(x, u, cnt, peak, plane, loc, patch, lam, rstr, bref, jref,
-                sh, core):
+    def res_one(x, u, cnt, peak, plane, loc, patch, lam, lami, rstr, bref,
+                jref, sh, core):
         return stage_residual(
             spec, w, x, u, cnt, peak, plane, loc, patch, rstr, bref, jref,
-            sh, lam_k=lam, include_torque=include_torque, core=core)
+            sh, lam_k=lam, lam_ineq_k=lami, include_torque=include_torque,
+            core=core)
 
-    def jac_one(x, u, cnt, peak, plane, loc, patch, rstr, core_jac):
+    def jac_one(x, u, cnt, peak, plane, loc, patch, lami, rstr, core_jac):
         pf, tau_k, jp, jvf, jtx, jta, jtf = core_jac
         return assemble_stage_jacobian(
             spec, w, x, u, cnt, peak, plane, loc, patch, rstr,
             pf, tau_k[:n_tau], jp, jvf, jtx[:n_tau], jta[:n_tau],
-            jtf[:n_tau], Jx_const, Ju_const, include_torque)
+            jtf[:n_tau], Jx_const, Ju_const, include_torque,
+            lam_ineq_k=lami)
 
     res_nodes = jax.vmap(jax.vmap(
-        res_one, in_axes=(0, 0, 0, 0, 0, 0, 0, 0, None, None, None, None,
+        res_one, in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0, None, None, None, None,
                           (0, 0, 0)),
-    ), in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, (0, 0, 0)))
+    ), in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, (0, 0, 0)))
     r = res_nodes(
         Xb[:, :-1], Ub, cnt_n, peak_n, plane_n, loc_n, patch_n, pb.lam_eq,
-        pb.restrict, pb.base_ref, pb.joint_ref, pb.step_height,
+        pb.lam_ineq, pb.restrict, pb.base_ref, pb.joint_ref, pb.step_height,
         (p_feet, v_feet, tau),
     )
 
     jac_nodes = jax.vmap(jax.vmap(
-        jac_one, in_axes=(0, 0, 0, 0, 0, 0, 0, None,
+        jac_one, in_axes=(0, 0, 0, 0, 0, 0, 0, 0, None,
                           (0, 0, 0, 0, 0, 0, 0)),
-    ), in_axes=(0, 0, 0, 0, 0, 0, 0, 0, (0, 0, 0, 0, 0, 0, 0)))
+    ), in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0, (0, 0, 0, 0, 0, 0, 0)))
     Jx, Ju = jac_nodes(
-        Xb[:, :-1], Ub, cnt_n, peak_n, plane_n, loc_n, patch_n, pb.restrict,
-        (p_feet, tau, Jp, Jvf, Jt_x, Jt_a, Jt_f),
+        Xb[:, :-1], Ub, cnt_n, peak_n, plane_n, loc_n, patch_n, pb.lam_ineq,
+        pb.restrict, (p_feet, tau, Jp, Jvf, Jt_x, Jt_a, Jt_f),
     )
     return r, Jx, Ju
 
@@ -368,19 +380,19 @@ def total_cost_dyncore(spec, w: Weights, Xb, Ub, pb: OCPParams,
     loc_n = jnp.moveaxis(pf.cnt_loc[:, :, :N], 2, 1)
     patch_n = jnp.swapaxes(pf.patch_radius[:, :, :N], 1, 2)
 
-    def res_one(x, u, cnt, peak, plane, loc, patch, lam, rstr, bref, jref,
-                sh, core):
+    def res_one(x, u, cnt, peak, plane, loc, patch, lam, lami, rstr, bref,
+                jref, sh, core):
         return stage_residual(
             spec, w, x, u, cnt, peak, plane, loc, patch, rstr, bref, jref,
-            sh, lam_k=lam, include_torque=True, core=core)
+            sh, lam_k=lam, lam_ineq_k=lami, include_torque=True, core=core)
 
     res_nodes = jax.vmap(jax.vmap(
-        res_one, in_axes=(0, 0, 0, 0, 0, 0, 0, 0, None, None, None, None,
+        res_one, in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0, None, None, None, None,
                           (0, 0, 0)),
-    ), in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, (0, 0, 0)))
+    ), in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, (0, 0, 0)))
     r = res_nodes(
         Xf[:, :-1], Uf, cnt_n, peak_n, plane_n, loc_n, patch_n, pf.lam_eq,
-        pf.restrict, pf.base_ref, pf.joint_ref, pf.step_height,
+        pf.lam_ineq, pf.restrict, pf.base_ref, pf.joint_ref, pf.step_height,
         (p_feet, v_feet, tau),
     )
 
@@ -393,6 +405,40 @@ def total_cost_dyncore(spec, w: Weights, Xb, Ub, pb: OCPParams,
     cost = 0.5 * jnp.sum(r * r, axis=(1, 2)) + 0.5 * jnp.sum(
         r_term * r_term, axis=1)
     return cost.reshape(lead)
+
+
+def ineq_g_dyncore(spec, w: Weights, Xb, Ub, pb: OCPParams,
+                   interpret: bool = False):
+    """Raw inequality constraint values for a batch of problems via the
+    fused primal-dynamics kernel: Xb (B, N+1, NX), Ub (B, N, NU) ->
+    (B, N, NC_INEQ). One dyncore launch evaluates the FK/RNEA core for all
+    (problem, node) pairs; the g assembly reuses ocp.problem.ineq_values
+    with core=, so the layout stays the single source of truth."""
+    from ..ops.dynjac_kernel import dyncore_pallas
+    from ..ocp.problem import ineq_values
+
+    B, N = Ub.shape[0], Ub.shape[1]
+    cnt_n = jnp.swapaxes(pb.cnt[:, :, :N], 1, 2)                # (B, N, 4)
+    f_n = Ub[..., 18:30].reshape(B, N, 4, 3)
+    fe = cnt_n[..., None] * f_n
+    prim = dyncore_pallas(
+        spec, Xb[:, :-1].reshape(B * N, NX),
+        Ub[..., :18].reshape(B * N, 18), fe.reshape(B * N, 12),
+        interpret=interpret,
+    ).reshape(B, N, 42)
+    p_feet = prim[:, :, :12].reshape(B, N, 4, 3)
+    tau = prim[:, :, 24:]
+    loc_n = jnp.moveaxis(pb.cnt_loc[:, :, :N], 2, 1)
+    patch_n = jnp.swapaxes(pb.patch_radius[:, :, :N], 1, 2)
+
+    def one(x, u, cnt, loc, patch, rstr, core):
+        return ineq_values(spec, w, x, u, cnt, loc, patch, rstr, core=core)
+
+    fn = jax.vmap(jax.vmap(
+        one, in_axes=(0, 0, 0, 0, 0, None, (0, 0)),
+    ), in_axes=(0, 0, 0, 0, 0, 0, (0, 0)))
+    return fn(Xb[:, :-1], Ub, cnt_n, loc_n, patch_n, pb.restrict,
+              (p_feet, tau))
 
 
 def lingram_structured(spec, w: Weights, Xb, Ub, pb: OCPParams,
@@ -459,6 +505,10 @@ def lingram_structured(spec, w: Weights, Xb, Ub, pb: OCPParams,
     joint_ref = rep(pb.joint_ref)
     step_h = rep(pb.step_height)
     lam = pb.lam_eq.reshape(BN, 18)
+    lami = pb.lam_ineq.reshape(BN, 36)
+    s_cone = cnt[..., None] * lami[:, :20].reshape(BN, N_FOOT, 5)
+    s_tau = lami[:, 20:32]
+    s_patch = lami[:, 32:36]
     cnt12 = jnp.repeat(cnt, 3, axis=1)                   # (BN, 12)
 
     # ---- diagonal groups (tracking / acc / force regs) ----
@@ -501,11 +551,12 @@ def lingram_structured(spec, w: Weights, Xb, Ub, pb: OCPParams,
     d_xy = p_feet[:, :, :2] - loc[:, :, :2]
     dist = jnp.sqrt(jnp.sum(d_xy * d_xy, axis=2) + 1.0e-12)
     unit = d_xy / dist[..., None]
-    p_act = (dist - patch > 0.0).astype(dtype)
+    gap_p = dist - patch
+    p_act = hinge_shifted_act(gap_p, s_patch)
     sc_p = restrict[:, None] * cnt * w.patch
     S_p = (sc_p * p_act)[..., None] * jnp.einsum(
         "bij,bijx->bix", unit, Jp[:, :, :2, :])
-    s_p = sc_p * jnp.maximum(dist - patch, 0.0)
+    s_p = sc_p * hinge_shifted(gap_p, s_patch)
 
     stab = jnp.asarray(w.stab_gain)
     S_c = Jvf.at[:, :, 2, :].add(stab[None, :, None] * Jp[:, :, 2, :])
@@ -535,25 +586,22 @@ def lingram_structured(spec, w: Weights, Xb, Ub, pb: OCPParams,
     d_res = w.dyn_cons * tau[:, :6] + lam[:, :6]
     if include_torque:
         tau_j = tau[:, 6:]
-        t_act = (jnp.abs(tau_j) - jnp.asarray(spec.torque_limit) > 0.0)
-        t_sc = (t_act.astype(dtype) * jnp.sign(tau_j) * w.torque)[..., None]
+        gap_t = jnp.abs(tau_j) - jnp.asarray(spec.torque_limit)
+        t_act = hinge_shifted_act(gap_t, s_tau)
+        t_sc = (t_act * jnp.sign(tau_j) * w.torque)[..., None]
         D_x = jnp.concatenate([D_x, t_sc * Jt_x[:, 6:]], axis=1)
         D_u = jnp.concatenate(
             [D_u, t_sc * jnp.concatenate(
                 [Jt_a[:, 6:], Jt_f[:, 6:] * cnt12[:, None, :]], axis=2)],
             axis=1)
-        t_res = w.torque * jnp.maximum(
-            jnp.abs(tau_j) - jnp.asarray(spec.torque_limit), 0.0)
+        t_res = w.torque * hinge_shifted(gap_t, s_tau)
         d_res = jnp.concatenate([d_res, t_res], axis=1)
     Da = jnp.concatenate([D_x, D_u, d_res[..., None]], axis=2)  # (BN,nd,67)
     G_D = dg(Da, Da)                                            # (BN, 67, 67)
 
     # ---- cone rows: per-foot (5 x 3) blocks on the f columns ----
-    fx, fy, fz = f_eff[..., 0], f_eff[..., 1], f_eff[..., 2]
-    g_vals = jnp.stack(
-        [-fz, fx - w.mu * fz, -fx - w.mu * fz, fy - w.mu * fz,
-         -fy - w.mu * fz], axis=2)                              # (BN, 4, 5)
-    acts = (g_vals > 0.0).astype(dtype)
+    g_vals = cone_values(f_eff, w.mu)                           # (BN, 4, 5)
+    acts = hinge_shifted_act(g_vals, s_cone)
     g_xy = jnp.asarray(_CONE_XY, dtype)
     mu_mask = jnp.asarray(_CONE_MU_MASK, dtype)
     g_z = jnp.asarray(_CONE_Z, dtype) * (mu_mask * w.mu + (1.0 - mu_mask))
@@ -562,7 +610,7 @@ def lingram_structured(spec, w: Weights, Xb, Ub, pb: OCPParams,
          jnp.broadcast_to(g_z[None, None, :, None], (BN, N_FOOT, 5, 1))],
         axis=3)
     grad = grad * (acts * (w.cone * cnt)[..., None])[..., None]  # (BN,4,5,3)
-    c_res = w.cone * jnp.maximum(g_vals, 0.0)                    # (BN, 4, 5)
+    c_res = w.cone * hinge_shifted(g_vals, s_cone)               # (BN, 4, 5)
     Ca = jnp.concatenate([grad, c_res[..., None]], axis=3)       # (BN,4,5,4)
     Cf = Ca.reshape(BN * N_FOOT, 5, 4)
     G_C = dg(Cf, Cf).reshape(BN, N_FOOT, 4, 4)

@@ -31,12 +31,17 @@ import jax.numpy as jnp
 from ..models import dynamics as dyn
 from ..mpc.config import MPCCostConfig, MPCOptConfig
 from ..ocp.problem import (
+    NC_CONE,
+    NC_INEQ,
+    NC_PATCH,
+    NC_TORQUE,
     NU,
     NX,
     OCPParams,
     Weights,
     dynamics_matrices,
     dynamics_step,
+    ineq_values,
     make_weights,
     split_state,
     stage_residual,
@@ -50,12 +55,16 @@ class SolveStats(NamedTuple):
     defect: jax.Array        # max |defect| after the last accepted step
     step_norm: jax.Array     # |delta| of last SQP step
     alpha: jax.Array         # last accepted step size
+    viol: jax.Array          # max scale-normalized inequality violation
+    qp_iters: jax.Array      # inner QP (AL) iterations of the last SQP step
 
 
 class Solution(NamedTuple):
     X: jax.Array             # (N+1, 36)
     U: jax.Array             # (N, 30)
     stats: SolveStats
+    lam_ineq: jax.Array      # (N, NC_INEQ) annealed AL hinge shifts (for
+                             # dual warm starts across replans)
 
     @property
     def q(self):
@@ -82,12 +91,12 @@ class Solution(NamedTuple):
 
 
 def _stage_residual_z(spec, w, z, cnt, peak, plane, cnt_loc, patch, restrict,
-                      base_ref, joint_ref, step_h, lam=None,
+                      base_ref, joint_ref, step_h, lam=None, lam_ineq=None,
                       include_torque=True):
     x, u = z[:NX], z[NX:]
     return stage_residual(spec, w, x, u, cnt, peak, plane, cnt_loc, patch,
                           restrict, base_ref, joint_ref, step_h, lam_k=lam,
-                          include_torque=include_torque)
+                          lam_ineq_k=lam_ineq, include_torque=include_torque)
 
 
 def _linearize_stages(spec, w, X, U, p: OCPParams, include_torque: bool = False):
@@ -99,16 +108,16 @@ def _linearize_stages(spec, w, X, U, p: OCPParams, include_torque: bool = False)
     N = U.shape[0]
     Z = jnp.concatenate([X[:-1], U], axis=1)  # (N, NX+NU)
 
-    def res_one(z, cnt, peak, plane, cnt_loc, patch, lam):
+    def res_one(z, cnt, peak, plane, cnt_loc, patch, lam, lami):
         return _stage_residual_z(
             spec, w, z, cnt, peak, plane, cnt_loc, patch,
-            p.restrict, p.base_ref, p.joint_ref, p.step_height, lam,
+            p.restrict, p.base_ref, p.joint_ref, p.step_height, lam, lami,
             include_torque=include_torque,
         )
 
-    def res_and_jac(z, cnt, peak, plane, cnt_loc, patch, lam):
-        r = res_one(z, cnt, peak, plane, cnt_loc, patch, lam)
-        J = jax.jacfwd(res_one)(z, cnt, peak, plane, cnt_loc, patch, lam)
+    def res_and_jac(z, cnt, peak, plane, cnt_loc, patch, lam, lami):
+        r = res_one(z, cnt, peak, plane, cnt_loc, patch, lam, lami)
+        J = jax.jacfwd(res_one)(z, cnt, peak, plane, cnt_loc, patch, lam, lami)
         return r, J
 
     cnt_n = p.cnt[:, :N].T        # (N, 4)
@@ -117,7 +126,7 @@ def _linearize_stages(spec, w, X, U, p: OCPParams, include_torque: bool = False)
     loc_n = p.cnt_loc[:, :N].transpose(1, 0, 2)
     patch_n = p.patch_radius[:, :N].T                   # (N, 4)
     r, J = jax.vmap(res_and_jac)(Z, cnt_n, peak_n, plane_n, loc_n, patch_n,
-                                 p.lam_eq)
+                                 p.lam_eq, p.lam_ineq)
     return r, J[:, :, :NX], J[:, :, NX:]
 
 
@@ -297,6 +306,22 @@ class TrajOptSolver:
             self._linearize_mode = (
                 "dynjac" if jax.default_backend() == "tpu" else "jacfwd"
             )
+        # Inequality-violation normalization for the qp_tol exit test: cone
+        # rows scale with the per-foot gravity share (m*g/4 — the nominal
+        # stance load), torque rows with the actuator limit, patch rows with
+        # a 10 cm length scale. qp_tol=1e-2 then means cone <= 1% of the
+        # foot load (~0.4 N on Go2), torque <= 1% of the limit, patch <= 1 mm.
+        total_w = max(float(_np.asarray(self.weights.total_weight)), 1.0)
+        tlim = _np.asarray(spec.torque_limit, _np.float64)
+        self._ineq_scales = _np.concatenate(
+            [_np.full(NC_CONE, 0.25 * total_w), tlim, _np.full(NC_PATCH, 0.1)]
+        ).astype(_np.dtype(jnp.dtype(dtype).name))
+        # AL shift caps (clipped dual update — the inequality counterpart of
+        # update_multipliers' lam_max): generous safety bounds well above the
+        # annealed fixed points seen in practice.
+        self._lam_ineq_max = _np.concatenate(
+            [_np.full(NC_CONE, 0.5 * total_w), tlim, _np.full(NC_PATCH, 0.2)]
+        ).astype(_np.dtype(jnp.dtype(dtype).name))
 
     # ---------------- cost/merit ----------------
     def _total_cost(self, X, U, p: OCPParams):
@@ -355,10 +380,10 @@ class TrajOptSolver:
         N = U.shape[0]
         Z = jnp.concatenate([X[:-1], U], axis=1)
 
-        def res_one(z, cnt, peak, plane, cnt_loc, patch, lam):
+        def res_one(z, cnt, peak, plane, cnt_loc, patch, lam, lami):
             return _stage_residual_z(
                 self.spec, self.weights, z, cnt, peak, plane, cnt_loc, patch,
-                p.restrict, p.base_ref, p.joint_ref, p.step_height, lam,
+                p.restrict, p.base_ref, p.joint_ref, p.step_height, lam, lami,
             )
 
         cnt_n = p.cnt[:, :N].T
@@ -367,7 +392,7 @@ class TrajOptSolver:
         loc_n = p.cnt_loc[:, :N].transpose(1, 0, 2)
         patch_n = p.patch_radius[:, :N].T
         rs = jax.vmap(res_one)(Z, cnt_n, peak_n, plane_n, loc_n, patch_n,
-                               p.lam_eq)
+                               p.lam_eq, p.lam_ineq)
         r_term = terminal_residual(
             self.spec, self.weights, X[-1], p.peak[:, -1], p.base_ref_e,
             p.joint_ref, p.step_height,
@@ -651,6 +676,20 @@ class TrajOptSolver:
     ) -> Solution:
         """Run up to n_iter (static bound) SQP iterations from warm start.
 
+        Each SQP iteration wraps an inner QP loop of up to `max_qp_iter`
+        augmented-Lagrangian passes over the inequality hinges (friction
+        cone, torque limits, contact patch): GN step with the current hinge
+        shifts -> dual update s <- clip(s + g, 0, s_max) -> re-step, exiting
+        early once the scale-normalized violation drops below `qp_tol`.
+        This is the bounded-violation role of HPIPM's interior-point
+        iterations under the reference's budget semantics
+        (`mpc_opt.py:27` max_qp_iter=6, `config_abstract.py:71-74` qp_tol);
+        unlike HPIPM the inner passes re-linearize (fresh GN), which is
+        strictly tighter. In the warm-started RTI regime the annealed duals
+        carried across replans (Solution.lam_ineq -> OCPParams.lam_ineq)
+        keep violations below qp_tol, so the inner loop exits after one
+        pass and steady-state cost matches the plain RTI iteration.
+
         Multi-iteration solves stop early once the step norm drops below
         nlp_tol (the reference's outer-loop tolerance, config_abstract.py:71);
         warm-started RTI solves (n_iter == 1) use the reduced steady-state
@@ -660,26 +699,128 @@ class TrajOptSolver:
             self.opt.ls_alphas_steady if n_iter <= 1 else self.opt.ls_alphas
         )
         nlp_tol = jnp.asarray(self.opt.nlp_tol, X.dtype)
+        qp_tol = jnp.asarray(self.opt.qp_tol, X.dtype)
+        max_qp = max(1, int(self.opt.max_qp_iter))
+        zero = jnp.asarray(0.0, X.dtype)
+
+        def qp_cond(carry):
+            j, _, _, _, _, viol, _, _ = carry
+            return jnp.logical_and(j < max_qp,
+                                   jnp.logical_or(j == 0, viol > qp_tol))
+
+        def qp_body(carry):
+            j, X, U, lam, _, _, _, _ = carry
+            p_j = dataclasses.replace(params, lam_ineq=lam)
+            X, U, cost, step_norm, alpha = self._sqp_iter(
+                X, U, p_j, merit_rho, alphas=alphas,
+                use_fast_linearize=use_fast_linearize,
+            )
+            lam, viol = self.update_ineq_multipliers(X, U, params, lam)
+            return (j + 1, X, U, lam, cost, viol, step_norm, alpha)
 
         def cond(carry):
-            i, _, _, _, step_norm, _ = carry
+            i, _, _, _, _, _, step_norm, _, _ = carry
             return jnp.logical_and(i < n_iter,
                                    jnp.logical_or(i == 0, step_norm > nlp_tol))
 
         def body(carry):
-            i, X, U, _, _, _ = carry
-            X, U, cost, step_norm, alpha = self._sqp_iter(
-                X, U, params, merit_rho, alphas=alphas,
-                use_fast_linearize=use_fast_linearize,
+            i, X, U, lam, _, _, _, _, _ = carry
+            j, X, U, lam, cost, viol, step_norm, alpha = jax.lax.while_loop(
+                qp_cond, qp_body, (jnp.asarray(0), X, U, lam, zero, zero,
+                                   zero, zero)
             )
-            return (i + 1, X, U, cost, step_norm, alpha)
+            return (i + 1, X, U, lam, cost, viol, step_norm, alpha, j)
 
-        zero = jnp.asarray(0.0, X.dtype)
-        _, X, U, cost, step_norm, alpha = jax.lax.while_loop(
-            cond, body, (jnp.asarray(0), X, U, zero, zero, zero)
+        _, X, U, lam_ineq, cost, viol, step_norm, alpha, qp_iters = (
+            jax.lax.while_loop(
+                cond, body,
+                (jnp.asarray(0), X, U, params.lam_ineq, zero, zero, zero,
+                 zero, jnp.asarray(0)),
+            )
         )
         defect = jnp.max(jnp.abs(self._defects(X, U, params)))
-        return Solution(X, U, SolveStats(cost, defect, step_norm, alpha))
+        return Solution(
+            X, U,
+            SolveStats(cost, defect, step_norm, alpha, viol, qp_iters),
+            lam_ineq,
+        )
+
+    # ---------------- inequality (AL) dual updates ----------------
+    def _ineq_g(self, X, U, p: OCPParams):
+        """Raw inequality constraint values (N, NC_INEQ), physical units."""
+        if self._linearize_mode == "dynjac" and not self.time_opt:
+            return self._get_ineq_dyncore()(X, U, p)
+        return self._ineq_g_xla(X, U, p)
+
+    def _ineq_g_xla(self, X, U, p: OCPParams):
+        N = U.shape[0]
+        cnt_n = p.cnt[:, :N].T
+        loc_n = p.cnt_loc[:, :N].transpose(1, 0, 2)
+        patch_n = p.patch_radius[:, :N].T
+        return jax.vmap(
+            lambda x, u, cnt, loc, patch: ineq_values(
+                self.spec, self.weights, x, u, cnt, loc, patch, p.restrict)
+        )(X[:-1], U, cnt_n, loc_n, patch_n)
+
+    def _get_ineq_dyncore(self):
+        """custom_vmap dispatcher: batched violation evaluations route
+        through the fused primal-dynamics kernel (one launch for all
+        (problem, node) pairs), unbatched solves keep the XLA vmap."""
+        if hasattr(self, "_ineq_dyncore"):
+            return self._ineq_dyncore
+        from .linearize import ineq_g_dyncore
+
+        spec, w = self.spec, self.weights
+
+        @jax.custom_batching.custom_vmap
+        def ineq_g(X, U, p):
+            return self._ineq_g_xla(X, U, p)
+
+        @ineq_g.def_vmap
+        def _rule(axis_size, in_batched, X, U, p):
+            def bc(x, b):
+                return x if b else jnp.broadcast_to(
+                    x[None], (axis_size,) + jnp.shape(x))
+
+            X = bc(X, in_batched[0])
+            U = bc(U, in_batched[1])
+            p = jax.tree.map(bc, p, in_batched[2])
+            return ineq_g_dyncore(spec, w, X, U, p), True
+
+        self._ineq_dyncore = ineq_g
+        return ineq_g
+
+    def update_ineq_multipliers(self, X, U, params: OCPParams, lam_ineq):
+        """Clipped AL dual update on the hinge shifts + the scale-normalized
+        violation used for the qp_tol exit.
+
+        s <- mask * clip(s + g_+ + 0.25*g_-, 0, s_max): violations grow the
+        shift at the full AL rate; strict feasibility decays it DAMPED
+        (factor 0.25) — the single inexact-GN inner step overshoots the
+        active-set boundary, and an undamped decay limit-cycles between
+        "shift high -> strictly feasible -> shift collapses -> violate"
+        (measured on the mu=0.25 trot: 2 inner passes forever; damped decay
+        settles to 1 pass with zero violation). Cone rows reset when the
+        foot leaves contact (vacuous constraint), patch rows when
+        unrestricted — mirroring how the reference's dual warm start only
+        carries duals for constraints present in the shifted problem
+        (solver.py:290-342)."""
+        g = self._ineq_g(X, U, params)                  # (N, NC_INEQ)
+        N = U.shape[0]
+        cnt_n = params.cnt[:, :N].T                     # (N, 4)
+        mask = jnp.concatenate(
+            [
+                jnp.repeat(cnt_n, 5, axis=1),
+                jnp.ones((N, NC_TORQUE), X.dtype),
+                jnp.broadcast_to(params.restrict, (N, NC_PATCH)) * cnt_n,
+            ],
+            axis=1,
+        )
+        step = jnp.maximum(g, 0.0) + 0.25 * jnp.minimum(g, 0.0)
+        lam_new = mask * jnp.clip(
+            lam_ineq + step, 0.0, jnp.asarray(self._lam_ineq_max))
+        viol = jnp.max(jnp.maximum(g, 0.0) / jnp.asarray(self._ineq_scales))
+        return lam_new, viol
 
     # ---------------- reference API parity (solver.py:set_* setters) -------
     # NOTE: these mutate the config consulted at TRACE time; they affect
@@ -758,6 +899,7 @@ def make_params(
     dt=None,
     ground_height=0.0,
     lam_eq=None,
+    lam_ineq=None,
 ) -> OCPParams:
     """Ergonomic OCPParams builder with sensible defaults.
 
@@ -793,6 +935,8 @@ def make_params(
         dt = np.full((N,), solver.dt_nodes, np_dtype)
     if lam_eq is None:
         lam_eq = np.zeros((N, 18), np_dtype)
+    if lam_ineq is None:
+        lam_ineq = np.zeros((N, NC_INEQ), np_dtype)
     return OCPParams(
         x0=x0,
         cnt=cnt,
@@ -807,4 +951,5 @@ def make_params(
         step_height=asnp(step_height),
         dt=asnp(dt),
         lam_eq=asnp(lam_eq),
+        lam_ineq=asnp(lam_ineq),
     )

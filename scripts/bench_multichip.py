@@ -1,0 +1,121 @@
+"""Multi-device scaling + sharded-equality measurement (VERDICT r1 item 3).
+
+Runs on a virtual 8-device CPU mesh (the only multi-chip substrate available
+in this environment — BASELINE.md asks for a scaling report at 1 chip /
+1 host / >= 2 hosts; real multi-chip numbers need real hardware, so this
+artifact reports (a) CORRECTNESS of the sharded program at the production
+OCP shape (N=25) and (b) weak-scaling efficiency of the dp-sharded batched
+solve across 1/2/4/8 mesh devices, which exercises exactly the XLA
+partitioning + collective insertion a real slice would use (CPU wall-clock
+ratios, not TPU throughput).
+
+Writes BENCH_MULTI.json at the repo root:
+  {"devices": [...], "solves_per_s": [...], "efficiency_vs_1dev": [...],
+   "sharded_equal_max_dx": float, "ocp_nodes": 25, ...}
+
+Invoked by bench.py as a subprocess with
+XLA_FLAGS=--xla_force_host_platform_device_count=8; standalone use:
+  XLA_FLAGS=--xla_force_host_platform_device_count=8 python scripts/bench_multichip.py
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def main():
+    from __graft_entry__ import _flagship
+    from iterative_learning_nmpc_tpu.parallel.mesh import (
+        make_batch_solver, make_mesh, shard_batch)
+
+    n_dev = len(jax.devices())
+    solver, X, U, params = _flagship()   # full production shape, N=25
+
+    # warm once, then batch perturbed instances (per-device batch fixed =
+    # weak scaling: total batch grows with the mesh)
+    warm = jax.jit(lambda X, U, p: solver.solve(X, U, p, 15))
+    sol = warm(X, U, params)
+    jax.block_until_ready(sol.X)
+
+    per_dev = int(os.environ.get("BENCH_MULTI_PERDEV", "8"))
+    reps = int(os.environ.get("BENCH_MULTI_REPS", "3"))
+
+    def make_batch(B):
+        key = jax.random.PRNGKey(0)
+        noise = 0.01 * jax.random.normal(key, (B, X.shape[-1]))
+        pb = jax.tree.map(
+            lambda x: jnp.tile(x[None], (B,) + (1,) * x.ndim), params)
+        pb = pb.__class__(**{**{f: getattr(pb, f)
+                                for f in pb.__dataclass_fields__},
+                             "x0": pb.x0 + noise})
+        Xb = jnp.tile(sol.X[None], (B, 1, 1)).at[:, 0].set(pb.x0)
+        Ub = jnp.tile(sol.U[None], (B, 1, 1))
+        return Xb, Ub, pb
+
+    # ---- sharded-vs-single equality at the production shape ----
+    B = n_dev * per_dev
+    Xb, Ub, pb = make_batch(B)
+    ref = jax.jit(jax.vmap(lambda x, u, p: solver.solve(x, u, p, 1)))(
+        Xb, Ub, pb)
+    mesh = make_mesh(n_dev)
+    with mesh:
+        Xs, Us, ps = (shard_batch(mesh, t) for t in (Xb, Ub, pb))
+        solve_batch = make_batch_solver(solver, mesh, n_iter=1)
+        shr = solve_batch(Xs, Us, ps)
+        jax.block_until_ready(shr.X)
+    max_dx = float(jnp.max(jnp.abs(shr.X - ref.X)))
+    max_du = float(jnp.max(jnp.abs(shr.U - ref.U)))
+
+    # ---- weak scaling over 1/2/4/8 devices ----
+    sizes = [d for d in (1, 2, 4, 8) if d <= n_dev]
+    rates = []
+    for d in sizes:
+        Bd = d * per_dev
+        Xb, Ub, pb = make_batch(Bd)
+        mesh_d = make_mesh(d)
+        with mesh_d:
+            Xs, Us, ps = (shard_batch(mesh_d, t) for t in (Xb, Ub, pb))
+            fn = make_batch_solver(solver, mesh_d, n_iter=1)
+            out = fn(Xs, Us, ps)          # compile + warm
+            jax.block_until_ready(out.X)
+            times = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                out = fn(Xs, Us, ps)
+                jax.block_until_ready(out.X)
+                times.append(time.perf_counter() - t0)
+        rates.append(Bd / float(np.median(times)))
+
+    eff = [r / (rates[0] * d) for r, d in zip(rates, sizes)]
+    result = {
+        "substrate": "virtual CPU mesh (xla_force_host_platform_device_count)",
+        "ocp_nodes": solver.N,
+        "per_device_batch": per_dev,
+        "devices": sizes,
+        "solves_per_s": [round(r, 2) for r in rates],
+        "efficiency_vs_1dev": [round(e, 3) for e in eff],
+        "sharded_equal_max_dx": max_dx,
+        "sharded_equal_max_du": max_du,
+        "sharded_equal_pass": bool(max_dx <= 1e-4 and max_du <= 1e-4),
+    }
+    out_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "BENCH_MULTI.json")
+    with open(out_path, "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result))
+    if not result["sharded_equal_pass"]:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

@@ -34,37 +34,50 @@ def _to_mujoco(model, data, q, v):
     return np.asarray(q_mj), np.asarray(v_mj)
 
 
+@pytest.fixture(scope="module", params=["go2", "solo12"])
+def robot(request):
+    """Both robot families run the full golden suite (VERDICT r1 item 9:
+    Solo12 as a real second robot, not a scaled clone)."""
+    if request.param == "go2":
+        from iterative_learning_nmpc_tpu.robots.go2 import go2_spec
+
+        return go2_spec()
+    from iterative_learning_nmpc_tpu.robots.solo12 import solo12_spec
+
+    return solo12_spec()
+
+
 @pytest.fixture(scope="module")
-def mj(go2):
-    model = make_mj_model(go2, with_floor=False)
+def mj(robot):
+    model = make_mj_model(robot, with_floor=False)
     return model, mujoco.MjData(model)
 
 
-def test_fk_feet_vs_mujoco(go2, mj, rng):
+def test_fk_feet_vs_mujoco(robot, mj, rng):
     model, data = mj
     for _ in range(2):
-        q, v = _random_state(go2, rng)
+        q, v = _random_state(robot, rng)
         _to_mujoco(model, data, q, v)
-        p_feet = np.asarray(dyn.foot_positions(go2, jnp.asarray(q)))
+        p_feet = np.asarray(dyn.foot_positions(robot, jnp.asarray(q)))
         for i, leg in enumerate(["FL", "FR", "RL", "RR"]):
             gid = mujoco.mj_name2id(model, mujoco.mjtObj.mjOBJ_GEOM, f"{leg}_foot")
             np.testing.assert_allclose(p_feet[i], data.geom_xpos[gid], atol=2e-5)
 
 
-def test_foot_velocity_consistency(go2, rng):
+def test_foot_velocity_consistency(robot, rng):
     # d/dt foot_positions along (q, v) must equal foot_velocities.
-    q, v = _random_state(go2, rng)
+    q, v = _random_state(robot, rng)
     q, v = jnp.asarray(q, jnp.float32), jnp.asarray(v, jnp.float32)
-    _, pdot = jax.jvp(lambda qq: dyn.foot_positions(go2, qq), (q,), (v,))
-    vf = dyn.foot_velocities(go2, q, v)
+    _, pdot = jax.jvp(lambda qq: dyn.foot_positions(robot, qq), (q,), (v,))
+    vf = dyn.foot_velocities(robot, q, v)
     np.testing.assert_allclose(np.asarray(pdot), np.asarray(vf), atol=1e-5)
 
 
-def test_rnea_vs_mujoco_inverse(go2, mj, rng):
+def test_rnea_vs_mujoco_inverse(robot, mj, rng):
     model, data = mj
     for _ in range(2):
-        q, v = _random_state(go2, rng)
-        a = rng.uniform(-5.0, 5.0, go2.nv)
+        q, v = _random_state(robot, rng)
+        a = rng.uniform(-5.0, 5.0, robot.nv)
         _to_mujoco(model, data, q, v)
         # MuJoCo inverse dynamics wants qacc in its own chart:
         # d/dt qvel_mj. Convert chart accel -> mujoco accel via jvp of the map.
@@ -76,7 +89,7 @@ def test_rnea_vs_mujoco_inverse(go2, mj, rng):
         mujoco.mj_inverse(model, data)
         tau_mj = data.qfrc_inverse.copy()
 
-        tau = np.asarray(dyn.rnea(go2, qj, vj, aj))
+        tau = np.asarray(dyn.rnea(robot, qj, vj, aj))
         # Base rows live in different charts: compare actuated rows directly.
         np.testing.assert_allclose(tau[6:], tau_mj[6:], rtol=2e-4, atol=2e-3)
 
@@ -87,60 +100,60 @@ def test_rnea_vs_mujoco_inverse(go2, mj, rng):
         np.testing.assert_allclose(tau[:6], tau_base_chart, rtol=2e-4, atol=5e-3)
 
 
-def test_rnea_external_forces(go2, rng):
+def test_rnea_external_forces(robot, rng):
     # tau(f) == tau(0) - sum J^T f  (reference dynamics.py:156-161 contract)
-    q, v = _random_state(go2, rng)
-    a = rng.uniform(-3, 3, go2.nv)
+    q, v = _random_state(robot, rng)
+    a = rng.uniform(-3, 3, robot.nv)
     f = rng.uniform(-30, 30, (4, 3))
     qj, vj, aj, fj = map(jnp.asarray, (q, v, a, f))
-    tau0 = dyn.rnea(go2, qj, vj, aj)
-    tau_f = dyn.rnea(go2, qj, vj, aj, f_ext_feet=fj)
-    J = dyn.foot_jacobians(go2, qj)
+    tau0 = dyn.rnea(robot, qj, vj, aj)
+    tau_f = dyn.rnea(robot, qj, vj, aj, f_ext_feet=fj)
+    J = dyn.foot_jacobians(robot, qj)
     expected = np.asarray(tau0) - np.einsum("fi,fij->j", f, np.asarray(J))
     np.testing.assert_allclose(np.asarray(tau_f), expected, rtol=1e-4, atol=1e-3)
 
 
-def test_mass_matrix_vs_mujoco(go2, mj, rng):
+def test_mass_matrix_vs_mujoco(robot, mj, rng):
     model, data = mj
-    q, v = _random_state(go2, rng, scale_v=0.0)
+    q, v = _random_state(robot, rng, scale_v=0.0)
     _to_mujoco(model, data, q, v)
     M_mj = np.zeros((model.nv, model.nv))
     mujoco.mj_fullM(model, data, M_mj)
 
     qj = jnp.asarray(q)
-    M = np.asarray(dyn.mass_matrix(go2, qj))
+    M = np.asarray(dyn.mass_matrix(robot, qj))
     # chart mass matrix = T^T M_mj T with T = dvel_mj/dvel_chart
-    T = np.asarray(jax.jacfwd(lambda vv: tf.vel_to_mujoco(qj, vv))(jnp.zeros(go2.nv)))
+    T = np.asarray(jax.jacfwd(lambda vv: tf.vel_to_mujoco(qj, vv))(jnp.zeros(robot.nv)))
     np.testing.assert_allclose(M, T.T @ M_mj @ T, rtol=2e-4, atol=2e-3)
     # SPD check
     np.testing.assert_array_less(0.0, np.linalg.eigvalsh(M).min())
 
 
-def test_centroidal_momentum_linear(go2, rng):
+def test_centroidal_momentum_linear(robot, rng):
     # Linear part must equal total mass * com velocity.
-    q, v = _random_state(go2, rng)
+    q, v = _random_state(robot, rng)
     qj, vj = jnp.asarray(q), jnp.asarray(v)
-    h = np.asarray(dyn.centroidal_momentum(go2, qj, vj))
-    _, cdot = jax.jvp(lambda qq: dyn.com_position(go2, qq), (qj,), (vj,))
-    m = float(np.asarray(go2.mass).sum())
+    h = np.asarray(dyn.centroidal_momentum(robot, qj, vj))
+    _, cdot = jax.jvp(lambda qq: dyn.com_position(robot, qq), (qj,), (vj,))
+    m = float(np.asarray(robot.mass).sum())
     np.testing.assert_allclose(h[:3], m * np.asarray(cdot), rtol=1e-4, atol=1e-4)
 
 
-def test_centroidal_dynamics_newton_euler(go2, rng):
+def test_centroidal_dynamics_newton_euler(robot, rng):
     # hdot computed from (q,v,a) must equal the contact wrench when
     # (q,v,a,f) satisfy the full equations of motion.
-    q, v = _random_state(go2, rng)
+    q, v = _random_state(robot, rng)
     qj, vj = jnp.asarray(q), jnp.asarray(v)
     f = jnp.asarray(rng.uniform(0, 40, (4, 3)))
-    tau_j = jnp.asarray(rng.uniform(-10, 10, go2.nu))
-    a = dyn.forward_dynamics(go2, qj, vj, tau_j, f_ext_feet=f)
-    hdot = dyn.centroidal_momentum_rate(go2, qj, vj, a)
-    wrench = dyn.contact_wrench_about_com(go2, qj, f)
+    tau_j = jnp.asarray(rng.uniform(-10, 10, robot.nu))
+    a = dyn.forward_dynamics(robot, qj, vj, tau_j, f_ext_feet=f)
+    hdot = dyn.centroidal_momentum_rate(robot, qj, vj, a)
+    wrench = dyn.contact_wrench_about_com(robot, qj, f)
     np.testing.assert_allclose(np.asarray(hdot), np.asarray(wrench), rtol=2e-3, atol=5e-3)
 
 
-def test_transforms_roundtrip(go2, rng):
-    q, v = _random_state(go2, rng)
+def test_transforms_roundtrip(robot, rng):
+    q, v = _random_state(robot, rng)
     qj, vj = jnp.asarray(q), jnp.asarray(v)
     q_mj, v_mj = tf.convert_to_mujoco(qj, vj)
     q2, v2 = tf.convert_from_mujoco(q_mj, v_mj)
@@ -148,16 +161,16 @@ def test_transforms_roundtrip(go2, rng):
     np.testing.assert_allclose(np.asarray(v2), v, atol=1e-5)
 
 
-def test_base_angular_velocity_chart(go2, rng):
+def test_base_angular_velocity_chart(robot, rng):
     # The FK world angular velocity of the trunk must match the euler-rate map.
     from iterative_learning_nmpc_tpu.models.math3d import (
         euler_rate_to_local_angular,
         ypr_to_matrix,
     )
 
-    q, v = _random_state(go2, rng)
+    q, v = _random_state(robot, rng)
     qj, vj = jnp.asarray(q), jnp.asarray(v)
-    fk = dyn.fk_vel(go2, qj, vj)
+    fk = dyn.fk_vel(robot, qj, vj)
     w_world_trunk = np.asarray(fk.w[5])
     R = np.asarray(ypr_to_matrix(qj[3:6]))
     w_local = np.asarray(euler_rate_to_local_angular(qj[3:6], vj[3:6]))

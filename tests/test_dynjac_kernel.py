@@ -75,6 +75,7 @@ def test_linearize_stages_dynjac_matches_oracle():
             patch_radius=np.full((4, N + 1), 0.05, np.float32),
             restrict=1.0,
             lam_eq=0.1 * rng.randn(N, 18).astype(np.float32),
+            lam_ineq=0.5 * np.abs(rng.randn(N, 36)).astype(np.float32),
         )
 
     plist = [mk_params(b) for b in range(B)]
@@ -124,6 +125,7 @@ def test_total_cost_dyncore_matches_oracle():
         return S.make_params(
             solver, X[0, b, 0], cnt,
             lam_eq=0.1 * rng.randn(N, 18).astype(np.float32),
+            lam_ineq=0.5 * np.abs(rng.randn(N, 36)).astype(np.float32),
         )
 
     plist = [mk_params(b) for b in range(B_)]

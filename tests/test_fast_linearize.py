@@ -33,6 +33,7 @@ def setup():
         patch_radius=np.full((4, N + 1), 0.05, np.float32),
         restrict=1.0,
         lam_eq=0.1 * rng.randn(N, 18).astype(np.float32),
+        lam_ineq=0.5 * np.abs(rng.randn(N, 36)).astype(np.float32),
     )
     return solver, jnp.asarray(X), jnp.asarray(U), params
 
@@ -111,6 +112,7 @@ def _slice_nodes(X, U, params, NN):
         cnt_loc=params.cnt_loc[:, :NN + 1],
         patch_radius=params.patch_radius[:, :NN + 1],
         dt=params.dt[:NN], lam_eq=params.lam_eq[:NN],
+        lam_ineq=params.lam_ineq[:NN],
     )
     return X[:NN + 1], U[:NN], p
 

@@ -208,3 +208,58 @@ def test_bc_training_with_dropout(tmp_path, rng):
     assert os.path.exists(path)
     losses = [m["train_loss"] for m in bc.metrics]
     assert losses[-1] < losses[0]
+
+
+def test_ood_pipeline_end_to_end(tmp_path, rng):
+    """OOD path wired end-to-end (VERDICT r1 item 5, reference
+    `test_train_policy.py:127-158` semantics): the collection stores the
+    per-row mask in the HDF5, the trainer reads it back, and OOD rows carry
+    the x5 sampling weight."""
+    from iterative_learning_nmpc_tpu.learning.datagen import (
+        PretrainConfig, PretrainDataCollection)
+    from iterative_learning_nmpc_tpu.learning.train import make_sample_weights
+    from iterative_learning_nmpc_tpu.robots.go2 import go2_spec
+
+    # synthesize two "rollouts" as npz files: a nominal and a perturbed one
+    # whose second half drifts far (L2 > threshold) from the nominal
+    rec = str(tmp_path / "rec")
+    os.makedirs(rec, exist_ok=True)
+    n = 40
+    t = np.arange(n) * 1e-3
+    nom_states = rng.normal(size=(n, 44)) * 0.1
+    pert_states = nom_states.copy()
+    pert_states[n // 2:] += 10.0
+    def dump(path, states):
+        np.savez(path, state=states, action=rng.normal(size=(n, 12)),
+                 vc_goals=np.tile([0.3, 0.0, 0.0], (n, 1)),
+                 cc_goals=rng.normal(size=(n, 3)), time=t,
+                 q=np.zeros((n, 19)), v=np.zeros((n, 18)))
+    nom_path = os.path.join(rec, "nominal.npz")
+    pert_path = os.path.join(rec, "perturbed.npz")
+    dump(nom_path, nom_states)
+    dump(pert_path, pert_states)
+
+    cfg = PretrainConfig(record_dir=rec, ood_threshold=4.0)
+    dc = PretrainDataCollection(go2_spec(), cfg)
+    out = dc.save_training_dataset_with_ood([(nom_path, [nom_path, pert_path])])
+
+    # reload: mask round-trips through the HDF5
+    db = Database(limit=10_000, goal_type="vc")
+    db.load_saved_database(out)
+    ood = db.ood_array()
+    assert len(db) == 2 * n
+    assert ood[:n].sum() == 0                       # nominal rows are ID
+    assert ood[n:n + n // 2].sum() == 0             # pre-drift rows are ID
+    assert ood[n + n // 2:].all()                   # drifted rows are OOD
+
+    # the trainer's sampler gives OOD rows exactly the x5 weight
+    w = make_sample_weights(len(db), ood, 5.0)
+    assert np.all(w[ood] == 5.0) and np.all(w[~ood] == 1.0)
+
+    # and the full trainer consumes the mask end-to-end
+    tc = TrainConfig(n_epochs=2, batch_size=16, hidden_dim=32,
+                     num_hidden_layer=1, save_dir=str(tmp_path),
+                     run_name="ood_e2e", ckpt_every=10)
+    bc = BehavioralCloning(tc)
+    path = bc.run(db, ood_mask=ood)
+    assert os.path.exists(path)

@@ -40,10 +40,11 @@ def test_standing_balance(go2, trot_setup):
     np.testing.assert_allclose(np.asarray(sol.f[0, :, 2]), mg4, rtol=0.15)
     # no sag across the horizon
     assert np.all(np.asarray(sol.q[:, 2]) > 0.24)
-    # friction cone respected
+    # friction cone respected within the AL-bounded tolerance (<= 0.5 N —
+    # the inner QP loop anneals the hinge duals until qp_tol is met)
     f = np.asarray(sol.f)
     assert np.all(f[:, :, 2] > -1e-3)
-    assert np.all(np.abs(f[:, :, 0]) <= opt.mu * f[:, :, 2] + 1.0)
+    assert np.all(np.abs(f[:, :, 0]) <= opt.mu * f[:, :, 2] + 0.5)
 
 
 def test_trot_solution_shape(go2, trot_setup):
