@@ -48,6 +48,9 @@ class RolloutBatch(NamedTuple):
     action: jax.Array     # (B, T, 12) PD-target actions
     tau: jax.Array        # (B, T, 12) applied torques
     valid: jax.Array      # (B, T) 1 until the env fell
+    is_expert: jax.Array  # (B, T) 1 where the MPC expert was in control
+                          # (all ones for plain expert rollouts; the
+                          # SafeDAgger data step keeps only these rows)
 
 
 from .obs import policy_state as _dataset_state  # single source of truth
@@ -60,11 +63,30 @@ def make_batched_mpc_rollout(
     sim_dt: float = 1.0e-3,
     kd_action: float = 1.5,         # dataset action encoding kd (recorder)
     contact_params: Optional[jax_sim.ContactParams] = None,
+    policy=None,                    # (net, variables, norm) -> SafeDAgger mode
+    policy_kp: float = 20.0,
+    policy_kd: float = 1.5,
+    delay_steps: int = 100,
+    mpc_min_steps: int = 2500,
 ):
     """Build the jitted batched closed-loop rollout.
 
     Returns fn(x0 (B, 36), v_des (B, 3), key) -> RolloutBatch with
     T = n_intervals * steps_per_interval control steps.
+
+    With `policy` given (a `(net, variables, norm)` triple as returned by
+    `network.load_policy`), the rollout becomes the fully ON-DEVICE
+    SafeDAgger combined controller (the host version lives in
+    `learning/combined_controller.py`, reference
+    `DAgger/utils/Rollout_combined_controller.py:271-508`): the learned
+    policy and the MPC expert both act every control step — the expert's
+    plan stays warm by construction since the RTI solve runs every interval
+    regardless of who is in control — a jnp port of `check_unsafe_state_v2`
+    plus the reference's hysteresis (policy-only for the first
+    `delay_steps`, MPC latched >= `mpc_min_steps` once engaged) selects the
+    applied torque, and every dataset row carries `is_expert` for the
+    DAgger expert-row filter (`data_collection_locosafedagger.py:179-206`).
+    This makes the entire DAgger data step batched on TPU.
     """
     gait, opt, cost = get_quadruped_config(gait_name, spec.name)
     solver = TrajOptSolver(spec, opt, cost)
@@ -90,6 +112,52 @@ def make_batched_mpc_rollout(
 
     cnt_table_dev = jnp.asarray(cnt_table)
     peak_table_dev = jnp.asarray(peak_table)
+
+    # --- on-device safety monitor + policy forward (SafeDAgger mode) ---
+    from .safety import (
+        JOINT_BOUNDS_FLAT,
+        UNSAFE_HEIGHT_BOUNDS,
+        UNSAFE_MAX_ROLL_PITCH_DEG,
+        VEL_TRACK_TOL,
+    )
+
+    jb_rad = np.deg2rad(np.asarray(JOINT_BOUNDS_FLAT)).astype(np.float32)
+    max_rp = float(np.deg2rad(UNSAFE_MAX_ROLL_PITCH_DEG))
+    lo_h, hi_h = UNSAFE_HEIGHT_BOUNDS
+
+    def unsafe_v2_dev(q, v, v_des):
+        """jnp port of combined_controller.check_unsafe_state_v2 (chart
+        coordinates: q[3:6] = [yaw, pitch, roll])."""
+        pose = (
+            (jnp.abs(q[5]) > max_rp)
+            | (jnp.abs(q[4]) > max_rp)
+            | (q[2] < lo_h)
+            | (q[2] > hi_h)
+        )
+        joints = jnp.any(
+            (q[6:] < jb_rad[:, 0]) | (q[6:] > jb_rad[:, 1]))
+        track = jnp.any(jnp.abs(v[:2] - v_des[:2]) > VEL_TRACK_TOL)
+        return pose | joints | track
+
+    if policy is not None:
+        pol_net, pol_vars, pol_norm = policy
+        if pol_norm is not None:
+            _s_mean = np.asarray(pol_norm[0], np.float32)
+            _s_std = np.where(np.asarray(pol_norm[1]) > 1e-8,
+                              np.asarray(pol_norm[1]), 1.0).astype(np.float32)
+            _g_mean = np.asarray(pol_norm[2], np.float32)
+            _g_std = np.where(np.asarray(pol_norm[3]) > 1e-8,
+                              np.asarray(pol_norm[3]), 1.0).astype(np.float32)
+
+        def policy_tau(state44, q, v, v_des):
+            s = state44
+            g = v_des
+            if pol_norm is not None:
+                s = s.at[1:].set((s[1:] - _s_mean[1:]) / _s_std[1:])
+                g = (g - _g_mean) / _g_std
+            x_in = jnp.concatenate([s, g])
+            a = pol_net.apply(pol_vars, x_in[None], train=False)[0]
+            return policy_kp * (a - q[6:]) - policy_kd * v[6:]
 
     def params_for(node_i, x, ref_xy_yaw, v_des):
         cnt = cnt_table_dev[jnp.mod(node_i, cycle)]
@@ -135,7 +203,7 @@ def make_batched_mpc_rollout(
         sol0 = solver.solve(Xw, Uw, p0, 6)
 
         def interval(carry, i):
-            x, X_prev, U_prev, lam, lami, ref, alive = carry
+            x, X_prev, U_prev, lam, lami, ref, alive, mode, mpc_cnt, stepc = carry
             p = params_for(i, x, ref, v_des)
             p = dataclasses.replace(
                 p,
@@ -163,25 +231,46 @@ def make_batched_mpc_rollout(
 
             def ctrl_step(sx, inp):
                 q_d, v_d, ff = inp
-                st = sx
-                tau = (
+                st, mode_mpc, mpc_cnt, stepc = sx
+                tau_mpc = (
                     ff
                     + Kp * (q_d[6:] - st.q[6:])
                     + Kd * (v_d[6:] - st.v[6:])
                 )
-                tau = jnp.clip(tau, -tl, tl)
+                tau_mpc = jnp.clip(tau_mpc, -tl, tl)
                 # record (s_t, a_t) BEFORE stepping — same alignment as the
                 # host recorder (record() runs before mj_step)
                 state44 = _dataset_state(spec, st.q, st.v)
+                if policy is not None:
+                    # SafeDAgger: both controllers act; hysteresis switch
+                    # (reference Rollout_combined_controller.py:449-499)
+                    tau_pol = jnp.clip(
+                        policy_tau(state44, st.q, st.v, v_des), -tl, tl)
+                    unsafe = unsafe_v2_dev(st.q, st.v, v_des)
+                    in_delay = stepc < delay_steps
+                    leave_mpc = (mpc_cnt + 1 >= mpc_min_steps) & ~unsafe
+                    mode_new = jnp.where(mode_mpc, ~leave_mpc,
+                                         unsafe & ~in_delay)
+                    mpc_cnt = jnp.where(mode_new,
+                                        jnp.where(mode_mpc, mpc_cnt + 1, 0),
+                                        0)
+                    tau = jnp.where(mode_new, tau_mpc, tau_pol)
+                else:
+                    mode_new = mode_mpc            # always-expert rollout
+                    tau = tau_mpc
                 action = (tau + kd_action * st.v[6:]) / Kp + st.q[6:]
                 new = jax_sim.step(
                     plant_spec, st, tau, terrain.contact, sim_dt,
                     ground_height=terrain.ground_height,
                 )
-                return new, (st.q, st.v, state44, action, tau)
+                rec = (st.q, st.v, state44, action, tau,
+                       mode_new.astype(x.dtype))
+                return (new, mode_new, mpc_cnt, stepc + 1), rec
 
             st0 = jax_sim.SimState(x[:18], x[18:], jnp.asarray(0.0, x.dtype))
-            st_end, recs = jax.lax.scan(ctrl_step, st0, (q_plan, v_plan, tau_ff))
+            (st_end, mode, mpc_cnt, stepc), recs = jax.lax.scan(
+                ctrl_step, (st0, mode, mpc_cnt, stepc),
+                (q_plan, v_plan, tau_ff))
             x_new = jnp.concatenate([st_end.q, st_end.v])
 
             # fall detection: freeze 'alive' once violated (thresholds from
@@ -199,14 +288,17 @@ def make_batched_mpc_rollout(
             valid = jnp.full((steps,), alive_new, x.dtype)
             out = recs + (valid,)
             return (x_new, sol.X, sol.U, lam_new, sol.lam_ineq, ref_new,
-                    alive_new), out
+                    alive_new, mode, mpc_cnt, stepc), out
 
         ref0 = jnp.concatenate([x0[:2], x0[3:4]])
         carry0 = (
             x0, sol0.X, sol0.U, jnp.zeros((N, 18), x0.dtype), sol0.lam_ineq,
             ref0, jnp.asarray(1.0, x0.dtype),
+            # expert rollouts start (and stay) in MPC mode; SafeDAgger starts
+            # with the policy in control (reference :449-456)
+            jnp.asarray(policy is None), jnp.asarray(0), jnp.asarray(0),
         )
-        _, (Q, V, S44, A, TAU, VALID) = jax.lax.scan(
+        _, (Q, V, S44, A, TAU, EXP, VALID) = jax.lax.scan(
             interval, carry0, jnp.arange(n_intervals)
         )
         # (n_intervals, steps, d) -> (T, d)
@@ -214,6 +306,7 @@ def make_batched_mpc_rollout(
         return RolloutBatch(
             q=flat(Q), v=flat(V), state44=flat(S44), action=flat(A),
             tau=flat(TAU), valid=VALID.reshape(-1),
+            is_expert=EXP.reshape(-1),
         )
 
     from .randomize import TerrainParams, payload_spec_axes

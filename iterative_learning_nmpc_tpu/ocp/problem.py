@@ -407,16 +407,23 @@ def stage_residual_from_params(spec, w, x, u, p: OCPParams, k: int):
     )
 
 
-def equality_residuals(spec: RobotSpec, w: Weights, x, u, cnt_k, plane_k):
+def equality_residuals(spec: RobotSpec, w: Weights, x, u, cnt_k, plane_k,
+                       core: Tuple[jax.Array, ...] = None):
     """The bare (multiplier-free) equality penalty rows, weighted: used for
-    the AL multiplier update lam <- clip(lam + r_eq)."""
+    the AL multiplier update lam <- clip(lam + r_eq).
+
+    `core`, when given, is (p_feet (4,3), v_feet (4,3), tau_full (18)) from
+    the fused primal-dynamics kernel (linearize.eq_residuals_dyncore)."""
     q, v = split_state(x)
     a, f = split_input(u)
     f_eff = cnt_k[:, None] * f
-    tau_full = dyn.rnea(spec, q, v, a, f_ext_feet=f_eff)
+    if core is None:
+        tau_full = dyn.rnea(spec, q, v, a, f_ext_feet=f_eff)
+        p_feet = dyn.foot_positions(spec, q)
+        v_feet = dyn.foot_velocities(spec, q, v)
+    else:
+        p_feet, v_feet, tau_full = core
     r_dyn = tau_full[:6] * w.dyn_cons
-    p_feet = dyn.foot_positions(spec, q)
-    v_feet = dyn.foot_velocities(spec, q, v)
     pin_xy = v_feet[:, :2]
     pin_z = v_feet[:, 2] + w.stab_gain * (p_feet[:, 2] - plane_k[:, 2])
     r_cnt = (cnt_k[:, None] * jnp.concatenate([pin_xy, pin_z[:, None]], axis=1)

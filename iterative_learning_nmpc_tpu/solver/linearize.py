@@ -407,6 +407,39 @@ def total_cost_dyncore(spec, w: Weights, Xb, Ub, pb: OCPParams,
     return cost.reshape(lead)
 
 
+def eq_residuals_dyncore(spec, w: Weights, Xb, Ub, pb: OCPParams,
+                         interpret: bool = False):
+    """Batched bare equality-penalty rows via the fused primal-dynamics
+    kernel: Xb (B, N+1, NX), Ub (B, N, NU) -> (B, N, 18). The XLA
+    per-(problem, node) RNEA/FK evaluation this replaces dominated the
+    steady-state RTI chain (measured +10.4 ms/step at B=512 on v5e — a 3x
+    throughput regression); one dyncore launch removes it."""
+    from ..ops.dynjac_kernel import dyncore_pallas
+    from ..ocp.problem import equality_residuals
+
+    B, N = Ub.shape[0], Ub.shape[1]
+    cnt_n = jnp.swapaxes(pb.cnt[:, :, :N], 1, 2)                # (B, N, 4)
+    f_n = Ub[..., 18:30].reshape(B, N, 4, 3)
+    fe = cnt_n[..., None] * f_n
+    prim = dyncore_pallas(
+        spec, Xb[:, :-1].reshape(B * N, NX),
+        Ub[..., :18].reshape(B * N, 18), fe.reshape(B * N, 12),
+        interpret=interpret,
+    ).reshape(B, N, 42)
+    p_feet = prim[:, :, :12].reshape(B, N, 4, 3)
+    v_feet = prim[:, :, 12:24].reshape(B, N, 4, 3)
+    tau = prim[:, :, 24:]
+    plane_n = jnp.moveaxis(pb.plane_point[:, :, :N], 2, 1)
+
+    def one(x, u, cnt, plane, core):
+        return equality_residuals(spec, w, x, u, cnt, plane, core=core)
+
+    fn = jax.vmap(jax.vmap(
+        one, in_axes=(0, 0, 0, 0, (0, 0, 0)),
+    ), in_axes=(0, 0, 0, 0, (0, 0, 0)))
+    return fn(Xb[:, :-1], Ub, cnt_n, plane_n, (p_feet, v_feet, tau))
+
+
 def ineq_g_dyncore(spec, w: Weights, Xb, Ub, pb: OCPParams,
                    interpret: bool = False):
     """Raw inequality constraint values for a batch of problems via the

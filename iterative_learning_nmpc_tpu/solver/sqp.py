@@ -869,18 +869,52 @@ class TrajOptSolver:
         The multipliers live in the weighted residual space; with the RTI
         regime (1 SQP iteration per replan) they anneal the equality
         violations across successive solves — the functional counterpart of
-        HPIPM's warm-started duals."""
+        HPIPM's warm-started duals. Batched callers route through the fused
+        primal-dynamics kernel (one launch for all (problem, node) RNEA/FK
+        evaluations — the XLA path cost 3x the whole RTI step at B=512)."""
+        if self._linearize_mode == "dynjac" and not self.time_opt:
+            r_eq = self._get_eq_dyncore()(X, U, params)
+        else:
+            r_eq = self._eq_residuals_xla(X, U, params)
+        return jnp.clip(params.lam_eq + r_eq, -lam_max, lam_max)
+
+    def _eq_residuals_xla(self, X, U, params: OCPParams):
         from ..ocp.problem import equality_residuals
 
         N = U.shape[0]
         cnt_n = params.cnt[:, :N].T
         plane_n = params.plane_point[:, :N].transpose(1, 0, 2)
-        r_eq = jax.vmap(
+        return jax.vmap(
             lambda x, u, cnt, plane: equality_residuals(
                 self.spec, self.weights, x, u, cnt, plane
             )
         )(X[:-1], U, cnt_n, plane_n)
-        return jnp.clip(params.lam_eq + r_eq, -lam_max, lam_max)
+
+    def _get_eq_dyncore(self):
+        """custom_vmap dispatcher mirroring _get_ineq_dyncore."""
+        if hasattr(self, "_eq_dyncore"):
+            return self._eq_dyncore
+        from .linearize import eq_residuals_dyncore
+
+        spec, w = self.spec, self.weights
+
+        @jax.custom_batching.custom_vmap
+        def eq_r(X, U, p):
+            return self._eq_residuals_xla(X, U, p)
+
+        @eq_r.def_vmap
+        def _rule(axis_size, in_batched, X, U, p):
+            def bc(x, b):
+                return x if b else jnp.broadcast_to(
+                    x[None], (axis_size,) + jnp.shape(x))
+
+            X = bc(X, in_batched[0])
+            U = bc(U, in_batched[1])
+            p = jax.tree.map(bc, p, in_batched[2])
+            return eq_residuals_dyncore(spec, w, X, U, p), True
+
+        self._eq_dyncore = eq_r
+        return eq_r
 
 
 def make_params(

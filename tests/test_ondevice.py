@@ -65,3 +65,58 @@ def test_randomized_rollout(go2):
     assert float(out.valid.mean()) > 0.7
     z = np.asarray(out.q[:, -1, 2])
     assert np.all(z > 0.15)
+
+
+@pytest.mark.slow
+def test_ondevice_safedagger_switch(go2):
+    """Fully on-device SafeDAgger (VERDICT r1 item 10): policy + expert both
+    act every step; the jnp safety monitor + hysteresis hand control to the
+    MPC when the (untrained, unsafe) policy can't track, and every row
+    carries is_expert for the DAgger relabeling filter."""
+    import types
+
+    x0 = _x0(go2)
+    B = 2
+    x0b = jnp.asarray(np.tile(x0[None], (B, 1)))
+    vdes = jnp.asarray(np.tile(np.array([[0.3, 0.0, 0.0]], np.float32), (B, 1)))
+
+    # "hold home pose" policy: perfectly stable standing, but cannot track
+    # the 0.3 m/s command -> the velocity-tracking monitor trips right after
+    # the hysteresis delay (same trigger class as the reference's
+    # unsafe-tracking rule, Rollout_combined_controller.py:433-441)
+    q_home_j = jnp.asarray(np.asarray(go2.q_home)[6:], jnp.float32)
+    net = types.SimpleNamespace(
+        apply=lambda variables, x, train=False: jnp.tile(
+            q_home_j[None], (x.shape[0], 1)))
+    delay = 20
+    rollout = make_batched_mpc_rollout(
+        go2, n_intervals=8, policy=(net, {}, None),
+        delay_steps=delay, mpc_min_steps=60,
+    )
+    out = rollout(x0b, vdes)
+    T = out.q.shape[1]
+    exp = np.asarray(out.is_expert)
+    assert out.is_expert.shape == (B, T)
+    # policy-only during the hysteresis delay (reference :449-456)
+    assert np.all(exp[:, :delay] == 0.0)
+    # the monitor hands over to the expert (v_des=0.3 vs standstill trips
+    # the 0.10 m/s tracking tolerance right after the delay) and the latch
+    # keeps it engaged for >= mpc_min_steps
+    assert np.all(exp[:, delay + 1:delay + 60] == 1.0)
+    # the expert keeps the robot up after taking over
+    assert float(out.valid.mean()) > 0.9
+    # expert-row filter yields a usable dataset (the DAgger data step)
+    rows = (exp > 0.5) & (np.asarray(out.valid) > 0.5)
+    assert rows.sum() > 0.5 * B * T
+    assert np.isfinite(np.asarray(out.state44)[rows]).all()
+
+
+def test_ondevice_plain_rollout_is_all_expert(go2):
+    """Without a policy the rollout is the plain expert datagen: is_expert
+    is identically 1 (full compatibility with the BC pipeline)."""
+    x0 = _x0(go2)
+    x0b = jnp.asarray(x0[None])
+    vdes = jnp.asarray(np.array([[0.2, 0.0, 0.0]], np.float32))
+    rollout = make_batched_mpc_rollout(go2, n_intervals=2)
+    out = rollout(x0b, vdes)
+    assert np.all(np.asarray(out.is_expert) == 1.0)
