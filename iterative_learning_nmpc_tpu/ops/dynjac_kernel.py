@@ -799,7 +799,10 @@ def lingram_lane_major(spec, w, Xb, Ub, pb, include_torque: bool = True,
             dimension_semantics=("parallel",),
             # the default 16 MiB scoped-vmem budget OOMs at B>=512 (XLA
             # charges the double-buffered output blocks to the kernel's
-            # scoped stack); v5e has 128 MiB of VMEM
+            # scoped stack). 64 MiB assumes a v5e-class part (128 MiB VMEM);
+            # v4 (32 MiB) and older would need this lowered together with
+            # LB/the batch tile — the knob to revisit first when porting to
+            # a smaller-VMEM TPU generation (ADVICE r1).
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
