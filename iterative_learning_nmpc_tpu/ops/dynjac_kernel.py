@@ -27,6 +27,17 @@ VMEM:
 
 The (node, problem) pairs are independent, so the grid flattens B*N onto
 lane-tiles of 128 — no sequential dimension, perfect parallelism.
+
+NEGATIVE RESULT (r2, do not retry naively): a block-sparse Gram
+accumulation in `_lingram_kernel` — exploiting that foot-i rows only touch
+base + leg-i columns, packing per-foot 18/12-wide mini-Grams and
+assembling the dense (36,36)/(30,30) accumulators by concatenation
+(Mosaic has no scatter-add) — was oracle-correct but MEASURED SLOWER:
+4.80 ms/call vs 3.15 ms dense at B=512, with a ~7 min Mosaic compile.
+The misaligned sublane slices (offsets 6+3i etc.) and the zero-padded
+concat reassembly cost more in relayouts than the ~3x MAC reduction
+saves; the dense outer products vectorize cleanly. A win here would need
+a layout where leg blocks are 8-sublane aligned, or Mosaic scatter-add.
 """
 from __future__ import annotations
 
