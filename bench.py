@@ -51,7 +51,7 @@ def _rti_chain(solver, reps):
             X, U, lam, lami = carry
             pj = dataclasses.replace(p, lam_eq=lam, lam_ineq=lami)
             s = solver.solve(X, U, pj, 1)
-            lam_new = solver.update_multipliers(s.X, s.U, pj)
+            lam_new = solver.update_multipliers(s.X, s.U, pj, r_eq=s.r_eq)
             return (s.X, s.U, lam_new, s.lam_ineq), (s.stats.cost,
                                                      s.stats.qp_iters)
         carry, (costs, qpi) = jax.lax.scan(

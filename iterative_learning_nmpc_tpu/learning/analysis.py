@@ -173,3 +173,92 @@ def plot_feet_position(times, feet_pos_w, save_path=None):
     if save_path:
         fig.savefig(save_path, dpi=120, bbox_inches="tight")
     return fig
+
+
+def plot_perturbed_vs_nominal(times, states, nominal_times, nominal_states,
+                              threshold: float = 4.0, save_path=None):
+    """Distance-to-nominal over time with the OOD threshold line
+    (reference plot_perturbed_vs_nominal_distance.py + the L2>threshold OOD
+    rule of the pretrain collection)."""
+    plt = _plt()
+    d = perturbed_vs_nominal_distance(states, times, nominal_states,
+                                      nominal_times)
+    fig, ax = plt.subplots(figsize=(9, 4))
+    ax.plot(times, d, label="|state - nominal|")
+    ax.axhline(threshold, color="r", ls=":",
+               label=f"OOD threshold ({threshold})")
+    frac = float((d > threshold).mean())
+    ax.set_xlabel("t [s]")
+    ax.set_ylabel("L2 distance")
+    ax.set_title(f"perturbed vs nominal ({frac:.1%} OOD)")
+    ax.legend()
+    if save_path:
+        fig.savefig(save_path, dpi=120, bbox_inches="tight")
+    return fig
+
+
+def plot_smoothing_comparison(times, signal, cutoff_hz: float = 5.0,
+                              fs_hz: float = 1000.0, dims=None,
+                              save_path=None):
+    """Raw vs Butterworth-filtered trajectory overlay (reference
+    smooth_mpc_one_traj.py)."""
+    plt = _plt()
+    sig = np.atleast_2d(np.asarray(signal))
+    if sig.shape[0] == 1:
+        sig = sig.T
+    smooth = butterworth_lowpass(sig, cutoff_hz, fs_hz)
+    dims = list(dims) if dims is not None else list(range(sig.shape[1]))
+    ncols = min(3, len(dims))
+    nrows = (len(dims) + ncols - 1) // ncols
+    fig, axs = plt.subplots(nrows, ncols, figsize=(5 * ncols, 2.6 * nrows),
+                            squeeze=False)
+    axs = axs.ravel()
+    for k, d in enumerate(dims):
+        axs[k].plot(times, sig[:, d], alpha=0.4, label="raw")
+        axs[k].plot(times, smooth[:, d], label=f"{cutoff_hz:g} Hz")
+        axs[k].set_title(f"dim {d}")
+    axs[0].legend()
+    for k in range(len(dims), len(axs)):
+        fig.delaxes(axs[k])
+    fig.tight_layout()
+    if save_path:
+        fig.savefig(save_path, dpi=120, bbox_inches="tight")
+    return fig
+
+
+def plot_action_bounds(actions, joint_limits=None, save_path=None):
+    """Per-dimension action min/max span, optionally against the joint
+    limits (reference test_maxmin_action.py as a figure)."""
+    plt = _plt()
+    lo, hi = action_bounds(actions)
+    dims = np.arange(len(lo))
+    fig, ax = plt.subplots(figsize=(9, 4))
+    ax.vlines(dims, lo, hi, lw=6, alpha=0.7, label="action span")
+    if joint_limits is not None:
+        jl = np.asarray(joint_limits)
+        ax.plot(dims, jl[:, 0], "rv", label="joint lower")
+        ax.plot(dims, jl[:, 1], "r^", label="joint upper")
+    ax.set_xlabel("action dim")
+    ax.set_ylabel("rad")
+    ax.set_title("PD-target action bounds")
+    ax.legend()
+    if save_path:
+        fig.savefig(save_path, dpi=120, bbox_inches="tight")
+    return fig
+
+
+def plot_expert_segments(times, is_expert, save_path=None):
+    """Expert/learner mode timeline with the expert-influence ratio
+    (the SafeDAgger observability figure; ratio metric from
+    `data_collection_locosafedagger.py:219-223`)."""
+    plt = _plt()
+    m = np.asarray(is_expert, dtype=np.float64)
+    fig, ax = plt.subplots(figsize=(9, 2.4))
+    ax.fill_between(times, 0, m, step="post", alpha=0.6, label="expert (MPC)")
+    ax.set_yticks([0, 1])
+    ax.set_yticklabels(["policy", "expert"])
+    ax.set_xlabel("t [s]")
+    ax.set_title(f"control mode (expert influence {expert_influence_ratio(m):.1%})")
+    if save_path:
+        fig.savefig(save_path, dpi=120, bbox_inches="tight")
+    return fig

@@ -213,7 +213,8 @@ def make_batched_mpc_rollout(
             X_ws, U_ws = solver.shift_warmstart(X_prev, U_prev, 1)
             X_ws = X_ws.at[0].set(x)
             sol = solver.solve(X_ws, U_ws, p, 1)
-            lam_new = solver.update_multipliers(sol.X, sol.U, p)
+            lam_new = solver.update_multipliers(sol.X, sol.U, p,
+                                                r_eq=sol.r_eq)
 
             # interpolate the first interval of the plan to the control rate
             t_knots = jnp.concatenate([jnp.zeros(1, x.dtype), jnp.cumsum(p.dt)])

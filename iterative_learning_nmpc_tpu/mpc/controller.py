@@ -140,7 +140,8 @@ class LocomotionMPC:
             lami_ws = solver.shift_multipliers(lami_prev, shift)
             params = _dc.replace(params, lam_eq=lam_ws, lam_ineq=lami_ws)
             sol = solver.solve(X_ws, U_ws, params, n_iter)
-            lam_new = solver.update_multipliers(sol.X, sol.U, params)
+            lam_new = solver.update_multipliers(sol.X, sol.U, params,
+                                                r_eq=sol.r_eq)
             q_plan, v_plan, id_rep = interpolate_plan(
                 sol.q, sol.v, sol.a, sol.dt_sol(params.dt), n_interp
             )

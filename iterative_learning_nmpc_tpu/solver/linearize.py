@@ -413,9 +413,30 @@ def eq_residuals_dyncore(spec, w: Weights, Xb, Ub, pb: OCPParams,
     kernel: Xb (B, N+1, NX), Ub (B, N, NU) -> (B, N, 18). The XLA
     per-(problem, node) RNEA/FK evaluation this replaces dominated the
     steady-state RTI chain (measured +10.4 ms/step at B=512 on v5e — a 3x
-    throughput regression); one dyncore launch removes it."""
+    throughput regression); one dyncore launch removes it. (The unused
+    inequality assembly of dual_g_dyncore is dead-code-eliminated.)"""
+    return dual_g_dyncore(spec, w, Xb, Ub, pb, interpret=interpret)[0]
+
+
+def ineq_g_dyncore(spec, w: Weights, Xb, Ub, pb: OCPParams,
+                   interpret: bool = False):
+    """Raw inequality constraint values for a batch of problems via the
+    fused primal-dynamics kernel: Xb (B, N+1, NX), Ub (B, N, NU) ->
+    (B, N, NC_INEQ). One dyncore launch evaluates the FK/RNEA core for all
+    (problem, node) pairs; the g assembly reuses ocp.problem.ineq_values
+    with core=, so the layout stays the single source of truth."""
+    return dual_g_dyncore(spec, w, Xb, Ub, pb, interpret=interpret)[1]
+
+
+def dual_g_dyncore(spec, w: Weights, Xb, Ub, pb: OCPParams,
+                   interpret: bool = False):
+    """BOTH AL dual-update inputs from ONE fused primal launch:
+    (r_eq (B, N, 18), g_ineq (B, N, NC_INEQ)). The equality rows and the
+    inequality violations are evaluated at the same iterate in the RTI
+    chain, so sharing the FK/RNEA kernel output halves the dual-update
+    launches per step."""
     from ..ops.dynjac_kernel import dyncore_pallas
-    from ..ocp.problem import equality_residuals
+    from ..ocp.problem import equality_residuals, ineq_values
 
     B, N = Ub.shape[0], Ub.shape[1]
     cnt_n = jnp.swapaxes(pb.cnt[:, :, :N], 1, 2)                # (B, N, 4)
@@ -430,48 +451,21 @@ def eq_residuals_dyncore(spec, w: Weights, Xb, Ub, pb: OCPParams,
     v_feet = prim[:, :, 12:24].reshape(B, N, 4, 3)
     tau = prim[:, :, 24:]
     plane_n = jnp.moveaxis(pb.plane_point[:, :, :N], 2, 1)
-
-    def one(x, u, cnt, plane, core):
-        return equality_residuals(spec, w, x, u, cnt, plane, core=core)
-
-    fn = jax.vmap(jax.vmap(
-        one, in_axes=(0, 0, 0, 0, (0, 0, 0)),
-    ), in_axes=(0, 0, 0, 0, (0, 0, 0)))
-    return fn(Xb[:, :-1], Ub, cnt_n, plane_n, (p_feet, v_feet, tau))
-
-
-def ineq_g_dyncore(spec, w: Weights, Xb, Ub, pb: OCPParams,
-                   interpret: bool = False):
-    """Raw inequality constraint values for a batch of problems via the
-    fused primal-dynamics kernel: Xb (B, N+1, NX), Ub (B, N, NU) ->
-    (B, N, NC_INEQ). One dyncore launch evaluates the FK/RNEA core for all
-    (problem, node) pairs; the g assembly reuses ocp.problem.ineq_values
-    with core=, so the layout stays the single source of truth."""
-    from ..ops.dynjac_kernel import dyncore_pallas
-    from ..ocp.problem import ineq_values
-
-    B, N = Ub.shape[0], Ub.shape[1]
-    cnt_n = jnp.swapaxes(pb.cnt[:, :, :N], 1, 2)                # (B, N, 4)
-    f_n = Ub[..., 18:30].reshape(B, N, 4, 3)
-    fe = cnt_n[..., None] * f_n
-    prim = dyncore_pallas(
-        spec, Xb[:, :-1].reshape(B * N, NX),
-        Ub[..., :18].reshape(B * N, 18), fe.reshape(B * N, 12),
-        interpret=interpret,
-    ).reshape(B, N, 42)
-    p_feet = prim[:, :, :12].reshape(B, N, 4, 3)
-    tau = prim[:, :, 24:]
     loc_n = jnp.moveaxis(pb.cnt_loc[:, :, :N], 2, 1)
     patch_n = jnp.swapaxes(pb.patch_radius[:, :, :N], 1, 2)
 
-    def one(x, u, cnt, loc, patch, rstr, core):
-        return ineq_values(spec, w, x, u, cnt, loc, patch, rstr, core=core)
+    def one(x, u, cnt, plane, loc, patch, rstr, core):
+        pf, vf, tk = core
+        r_eq = equality_residuals(spec, w, x, u, cnt, plane,
+                                  core=(pf, vf, tk))
+        g = ineq_values(spec, w, x, u, cnt, loc, patch, rstr, core=(pf, tk))
+        return r_eq, g
 
     fn = jax.vmap(jax.vmap(
-        one, in_axes=(0, 0, 0, 0, 0, None, (0, 0)),
-    ), in_axes=(0, 0, 0, 0, 0, 0, (0, 0)))
-    return fn(Xb[:, :-1], Ub, cnt_n, loc_n, patch_n, pb.restrict,
-              (p_feet, tau))
+        one, in_axes=(0, 0, 0, 0, 0, 0, None, (0, 0, 0)),
+    ), in_axes=(0, 0, 0, 0, 0, 0, 0, (0, 0, 0)))
+    return fn(Xb[:, :-1], Ub, cnt_n, plane_n, loc_n, patch_n, pb.restrict,
+              (p_feet, v_feet, tau))
 
 
 def lingram_structured(spec, w: Weights, Xb, Ub, pb: OCPParams,

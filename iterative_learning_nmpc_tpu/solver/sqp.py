@@ -65,6 +65,10 @@ class Solution(NamedTuple):
     stats: SolveStats
     lam_ineq: jax.Array      # (N, NC_INEQ) annealed AL hinge shifts (for
                              # dual warm starts across replans)
+    r_eq: jax.Array          # (N, 18) bare equality rows at the solution —
+                             # pass to update_multipliers(r_eq=...) to skip
+                             # its FK/RNEA evaluation (shared with the
+                             # inner loop's dual launch)
 
     @property
     def q(self):
@@ -703,80 +707,105 @@ class TrajOptSolver:
         max_qp = max(1, int(self.opt.max_qp_iter))
         zero = jnp.asarray(0.0, X.dtype)
 
+        r_eq0 = jnp.zeros((self.N, 18), X.dtype)
+
         def qp_cond(carry):
-            j, _, _, _, _, viol, _, _ = carry
+            j, _, _, _, _, _, viol, _, _ = carry
             return jnp.logical_and(j < max_qp,
                                    jnp.logical_or(j == 0, viol > qp_tol))
 
         def qp_body(carry):
-            j, X, U, lam, _, _, _, _ = carry
+            j, X, U, lam, _, _, _, _, _ = carry
             p_j = dataclasses.replace(params, lam_ineq=lam)
             X, U, cost, step_norm, alpha = self._sqp_iter(
                 X, U, p_j, merit_rho, alphas=alphas,
                 use_fast_linearize=use_fast_linearize,
             )
-            lam, viol = self.update_ineq_multipliers(X, U, params, lam)
-            return (j + 1, X, U, lam, cost, viol, step_norm, alpha)
+            # ONE fused launch yields both dual-update inputs: the equality
+            # rows ride along for the caller (Solution.r_eq)
+            r_eq, g = self._dual_g(X, U, params)
+            lam, viol = self._ineq_update_from_g(g, params, lam)
+            return (j + 1, X, U, lam, r_eq, cost, viol, step_norm, alpha)
 
         def cond(carry):
-            i, _, _, _, _, _, step_norm, _, _ = carry
+            i, _, _, _, _, _, _, step_norm, _, _ = carry
             return jnp.logical_and(i < n_iter,
                                    jnp.logical_or(i == 0, step_norm > nlp_tol))
 
         def body(carry):
-            i, X, U, lam, _, _, _, _, _ = carry
-            j, X, U, lam, cost, viol, step_norm, alpha = jax.lax.while_loop(
-                qp_cond, qp_body, (jnp.asarray(0), X, U, lam, zero, zero,
-                                   zero, zero)
+            i, X, U, lam, r_eq, _, _, _, _, _ = carry
+            (j, X, U, lam, r_eq, cost, viol, step_norm,
+             alpha) = jax.lax.while_loop(
+                qp_cond, qp_body,
+                (jnp.asarray(0), X, U, lam, r_eq, zero, zero, zero, zero)
             )
-            return (i + 1, X, U, lam, cost, viol, step_norm, alpha, j)
+            return (i + 1, X, U, lam, r_eq, cost, viol, step_norm, alpha, j)
 
-        _, X, U, lam_ineq, cost, viol, step_norm, alpha, qp_iters = (
-            jax.lax.while_loop(
-                cond, body,
-                (jnp.asarray(0), X, U, params.lam_ineq, zero, zero, zero,
-                 zero, jnp.asarray(0)),
-            )
+        (_, X, U, lam_ineq, r_eq, cost, viol, step_norm, alpha,
+         qp_iters) = jax.lax.while_loop(
+            cond, body,
+            (jnp.asarray(0), X, U, params.lam_ineq, r_eq0, zero, zero, zero,
+             zero, jnp.asarray(0)),
         )
         defect = jnp.max(jnp.abs(self._defects(X, U, params)))
         return Solution(
             X, U,
             SolveStats(cost, defect, step_norm, alpha, viol, qp_iters),
-            lam_ineq,
+            lam_ineq, r_eq,
         )
 
     # ---------------- inequality (AL) dual updates ----------------
     def _ineq_g(self, X, U, p: OCPParams):
         """Raw inequality constraint values (N, NC_INEQ), physical units."""
-        if self._linearize_mode == "dynjac" and not self.time_opt:
-            return self._get_ineq_dyncore()(X, U, p)
-        return self._ineq_g_xla(X, U, p)
+        return self._dual_g(X, U, p)[1]
 
-    def _ineq_g_xla(self, X, U, p: OCPParams):
+    def _dual_g(self, X, U, p: OCPParams):
+        """(r_eq (N, 18), g_ineq (N, NC_INEQ)) — both AL dual-update inputs
+        from one shared FK/RNEA evaluation (fused kernel when batched)."""
+        if self._linearize_mode == "dynjac" and not self.time_opt:
+            return self._get_dual_dyncore()(X, U, p)
+        return self._dual_g_xla(X, U, p)
+
+    def _dual_g_xla(self, X, U, p: OCPParams):
+        from ..models import dynamics as dyn
+        from ..ocp.problem import equality_residuals, split_input
+
         N = U.shape[0]
         cnt_n = p.cnt[:, :N].T
+        plane_n = p.plane_point[:, :N].transpose(1, 0, 2)
         loc_n = p.cnt_loc[:, :N].transpose(1, 0, 2)
         patch_n = p.patch_radius[:, :N].T
-        return jax.vmap(
-            lambda x, u, cnt, loc, patch: ineq_values(
-                self.spec, self.weights, x, u, cnt, loc, patch, p.restrict)
-        )(X[:-1], U, cnt_n, loc_n, patch_n)
 
-    def _get_ineq_dyncore(self):
-        """custom_vmap dispatcher: batched violation evaluations route
-        through the fused primal-dynamics kernel (one launch for all
+        def one(x, u, cnt, plane, loc, patch):
+            q, v = split_state(x)
+            a, f = split_input(u)
+            fe = cnt[:, None] * f
+            tau = dyn.rnea(self.spec, q, v, a, f_ext_feet=fe)
+            pf = dyn.foot_positions(self.spec, q)
+            vf = dyn.foot_velocities(self.spec, q, v)
+            r_eq = equality_residuals(self.spec, self.weights, x, u, cnt,
+                                      plane, core=(pf, vf, tau))
+            g = ineq_values(self.spec, self.weights, x, u, cnt, loc, patch,
+                            p.restrict, core=(pf, tau))
+            return r_eq, g
+
+        return jax.vmap(one)(X[:-1], U, cnt_n, plane_n, loc_n, patch_n)
+
+    def _get_dual_dyncore(self):
+        """custom_vmap dispatcher: batched dual evaluations route through
+        the fused primal-dynamics kernel (one launch for all
         (problem, node) pairs), unbatched solves keep the XLA vmap."""
-        if hasattr(self, "_ineq_dyncore"):
-            return self._ineq_dyncore
-        from .linearize import ineq_g_dyncore
+        if hasattr(self, "_dual_dyncore"):
+            return self._dual_dyncore
+        from .linearize import dual_g_dyncore
 
         spec, w = self.spec, self.weights
 
         @jax.custom_batching.custom_vmap
-        def ineq_g(X, U, p):
-            return self._ineq_g_xla(X, U, p)
+        def dual_g(X, U, p):
+            return self._dual_g_xla(X, U, p)
 
-        @ineq_g.def_vmap
+        @dual_g.def_vmap
         def _rule(axis_size, in_batched, X, U, p):
             def bc(x, b):
                 return x if b else jnp.broadcast_to(
@@ -785,10 +814,29 @@ class TrajOptSolver:
             X = bc(X, in_batched[0])
             U = bc(U, in_batched[1])
             p = jax.tree.map(bc, p, in_batched[2])
-            return ineq_g_dyncore(spec, w, X, U, p), True
+            return dual_g_dyncore(spec, w, X, U, p), (True, True)
 
-        self._ineq_dyncore = ineq_g
-        return ineq_g
+        self._dual_dyncore = dual_g
+        return dual_g
+
+    def _ineq_update_from_g(self, g, params: OCPParams, lam_ineq):
+        """Clipped AL dual update + scale-normalized violation, given the
+        raw constraint values g (see update_ineq_multipliers)."""
+        N = g.shape[0]
+        cnt_n = params.cnt[:, :N].T                     # (N, 4)
+        mask = jnp.concatenate(
+            [
+                jnp.repeat(cnt_n, 5, axis=1),
+                jnp.ones((N, NC_TORQUE), g.dtype),
+                jnp.broadcast_to(params.restrict, (N, NC_PATCH)) * cnt_n,
+            ],
+            axis=1,
+        )
+        step = jnp.maximum(g, 0.0) + 0.25 * jnp.minimum(g, 0.0)
+        lam_new = mask * jnp.clip(
+            lam_ineq + step, 0.0, jnp.asarray(self._lam_ineq_max))
+        viol = jnp.max(jnp.maximum(g, 0.0) / jnp.asarray(self._ineq_scales))
+        return lam_new, viol
 
     def update_ineq_multipliers(self, X, U, params: OCPParams, lam_ineq):
         """Clipped AL dual update on the hinge shifts + the scale-normalized
@@ -806,21 +854,7 @@ class TrajOptSolver:
         carries duals for constraints present in the shifted problem
         (solver.py:290-342)."""
         g = self._ineq_g(X, U, params)                  # (N, NC_INEQ)
-        N = U.shape[0]
-        cnt_n = params.cnt[:, :N].T                     # (N, 4)
-        mask = jnp.concatenate(
-            [
-                jnp.repeat(cnt_n, 5, axis=1),
-                jnp.ones((N, NC_TORQUE), X.dtype),
-                jnp.broadcast_to(params.restrict, (N, NC_PATCH)) * cnt_n,
-            ],
-            axis=1,
-        )
-        step = jnp.maximum(g, 0.0) + 0.25 * jnp.minimum(g, 0.0)
-        lam_new = mask * jnp.clip(
-            lam_ineq + step, 0.0, jnp.asarray(self._lam_ineq_max))
-        viol = jnp.max(jnp.maximum(g, 0.0) / jnp.asarray(self._ineq_scales))
-        return lam_new, viol
+        return self._ineq_update_from_g(g, params, lam_ineq)
 
     # ---------------- reference API parity (solver.py:set_* setters) -------
     # NOTE: these mutate the config consulted at TRACE time; they affect
@@ -863,58 +897,19 @@ class TrajOptSolver:
         return lam_eq[idx]
 
     def update_multipliers(self, X, U, params: OCPParams,
-                           lam_max: float = 30.0) -> jax.Array:
+                           lam_max: float = 30.0, r_eq=None) -> jax.Array:
         """Augmented-Lagrangian dual update: lam <- clip(lam + r_eq(X, U)).
 
         The multipliers live in the weighted residual space; with the RTI
         regime (1 SQP iteration per replan) they anneal the equality
         violations across successive solves — the functional counterpart of
-        HPIPM's warm-started duals. Batched callers route through the fused
-        primal-dynamics kernel (one launch for all (problem, node) RNEA/FK
-        evaluations — the XLA path cost 3x the whole RTI step at B=512)."""
-        if self._linearize_mode == "dynjac" and not self.time_opt:
-            r_eq = self._get_eq_dyncore()(X, U, params)
-        else:
-            r_eq = self._eq_residuals_xla(X, U, params)
+        HPIPM's warm-started duals. Pass `r_eq=sol.r_eq` to reuse the rows
+        the solve's inner dual launch already computed (zero extra FK/RNEA
+        work — without it the XLA evaluation cost 3x the whole RTI step at
+        B=512; batched callers otherwise route through the fused kernel)."""
+        if r_eq is None:
+            r_eq = self._dual_g(X, U, params)[0]
         return jnp.clip(params.lam_eq + r_eq, -lam_max, lam_max)
-
-    def _eq_residuals_xla(self, X, U, params: OCPParams):
-        from ..ocp.problem import equality_residuals
-
-        N = U.shape[0]
-        cnt_n = params.cnt[:, :N].T
-        plane_n = params.plane_point[:, :N].transpose(1, 0, 2)
-        return jax.vmap(
-            lambda x, u, cnt, plane: equality_residuals(
-                self.spec, self.weights, x, u, cnt, plane
-            )
-        )(X[:-1], U, cnt_n, plane_n)
-
-    def _get_eq_dyncore(self):
-        """custom_vmap dispatcher mirroring _get_ineq_dyncore."""
-        if hasattr(self, "_eq_dyncore"):
-            return self._eq_dyncore
-        from .linearize import eq_residuals_dyncore
-
-        spec, w = self.spec, self.weights
-
-        @jax.custom_batching.custom_vmap
-        def eq_r(X, U, p):
-            return self._eq_residuals_xla(X, U, p)
-
-        @eq_r.def_vmap
-        def _rule(axis_size, in_batched, X, U, p):
-            def bc(x, b):
-                return x if b else jnp.broadcast_to(
-                    x[None], (axis_size,) + jnp.shape(x))
-
-            X = bc(X, in_batched[0])
-            U = bc(U, in_batched[1])
-            p = jax.tree.map(bc, p, in_batched[2])
-            return eq_residuals_dyncore(spec, w, X, U, p), True
-
-        self._eq_dyncore = eq_r
-        return eq_r
 
 
 def make_params(

@@ -58,3 +58,34 @@ def test_figures_build(tmp_path, rng):
                                save_path=str(tmp_path / "feet.png"))
     for name in ("pca.png", "dist.png", "track.png", "feet.png"):
         assert (tmp_path / name).exists()
+
+
+def test_new_figure_builders(tmp_path, ):
+    """The round-2 figure additions (perturbed-vs-nominal, smoothing
+    comparison, action bounds, expert segments) render and save."""
+    import os
+
+    rng = np.random.default_rng(2)
+    T = 200
+    t = np.arange(T) * 1e-3
+    nom = rng.normal(size=(T, 8)) * 0.1
+    pert = nom + np.where(t[:, None] > 0.1, 6.0, 0.0)
+    f = an.plot_perturbed_vs_nominal(t, pert, t, nom, threshold=4.0,
+                                     save_path=str(tmp_path / "pvn.png"))
+    assert os.path.exists(str(tmp_path / "pvn.png"))
+
+    sig = np.sin(2 * np.pi * 2.0 * t)[:, None] + 0.2 * rng.normal(size=(T, 1))
+    an.plot_smoothing_comparison(t, sig, cutoff_hz=5.0, fs_hz=1000.0,
+                                 save_path=str(tmp_path / "sm.png"))
+    assert os.path.exists(str(tmp_path / "sm.png"))
+
+    acts = rng.normal(size=(T, 12)) * 0.3
+    jl = np.tile([[-1.0, 1.0]], (12, 1))
+    an.plot_action_bounds(acts, joint_limits=jl,
+                          save_path=str(tmp_path / "ab.png"))
+    assert os.path.exists(str(tmp_path / "ab.png"))
+
+    mode = (t > 0.05).astype(float)
+    fig = an.plot_expert_segments(t, mode, save_path=str(tmp_path / "exp.png"))
+    assert os.path.exists(str(tmp_path / "exp.png"))
+    assert "75" in fig.axes[0].get_title() or "%" in fig.axes[0].get_title()
