@@ -77,11 +77,15 @@ class MPCOptConfig:
     # Levenberg-Marquardt regularization added to the input-Hessian blocks
     lm_reg: float = 1.0e-6
     # Parallel line-search candidates (evaluated simultaneously via vmap).
-    # Full set for cold/first solves; warm-started RTI solves use the steady
-    # set (acados' SQP_RTI takes full steps with no line search at all —
-    # we keep one fallback candidate as a safeguard).
+    # Full set for cold/first solves; warm-started RTI solves take the full
+    # Newton step with no line search — exactly acados' SQP_RTI
+    # (`real_time_it`, reference solver.py:68-72) — so the steady-state
+    # merit evaluation is a single cost pass for stats. Set
+    # ls_alphas_steady=(1.0, 0.25) to re-enable a fallback candidate if a
+    # deployment sees post-impact overshoot (closed-loop push-recovery
+    # tests pass with the pure full step).
     ls_alphas: Tuple[float, ...] = (1.0, 0.5, 0.25, 0.1)
-    ls_alphas_steady: Tuple[float, ...] = (1.0, 0.25)
+    ls_alphas_steady: Tuple[float, ...] = (1.0,)
     # Riccati backward sweep:
     #   "auto"        -> "pallas" on TPU, "sequential" elsewhere
     #   "sequential"  -> lax.scan of structured/generic steps (backward-stable)

@@ -38,6 +38,14 @@ The misaligned sublane slices (offsets 6+3i etc.) and the zero-padded
 concat reassembly cost more in relayouts than the ~3x MAC reduction
 saves; the dense outer products vectorize cleanly. A win here would need
 a layout where leg blocks are 8-sublane aligned, or Mosaic scatter-add.
+
+WIN (r2): `_lingram_kernel` seeds x-tangents ONLY (TPX=40 padded rows, 5
+sublane-registers per tangent op instead of 7): d tau/d a is the
+ypr-chart mass matrix — symmetric, leg-block-sparse, and independent of
+the velocity-product terms — built analytically by `_mass_matrix_ypr`
+from the dual pass's kinematic frames with value-only ops. Measured
+3.15 -> ~2.85 ms at B=512 and Mosaic compile 179 s -> 12 s (the narrower
+tangent vregs mostly help the scheduler).
 """
 from __future__ import annotations
 
@@ -255,11 +263,14 @@ def euler_rate_matrix_dot(cp, sp, cr, sr, pd: D, rd: D):
 # the dual-number whole-body pass (FK + velocities + RNEA)
 # ---------------------------------------------------------------------------
 def _dual_pass(consts, q: Sequence[D], v: Sequence[D], a: Sequence[D],
-               fe: Sequence[Sequence[D]]):
+               fe: Sequence[Sequence[D]], want_aux: bool = False):
     """Mirrors models/dynamics.py `_leg_kinematics` + `rnea` exactly
     (reference semantics at `mpc_controller/utils/dynamics.py:136-163`).
 
-    Returns (p_feet 4x3, v_feet 4x3, tau 18) as duals.
+    Returns (p_feet 4x3, v_feet 4x3, tau 18) as duals; with `want_aux`,
+    additionally returns the kinematic frames `_mass_matrix_ypr` needs
+    (world joint axes/positions/rotations/CoMs, base R/T/p) so callers can
+    build d tau / d a analytically instead of seeding 18 extra tangent rows.
     """
     jp, ax, m_legs, com_legs, Ic_legs, foot_off, m_t, com_t, I_t = consts
 
@@ -283,6 +294,7 @@ def _dual_pass(consts, q: Sequence[D], v: Sequence[D], a: Sequence[D],
     tau_legs = []
     F_legs = [D(0.0)] * 3
     M_legs = [D(0.0)] * 3
+    aux_axs, aux_pjs, aux_Rks, aux_xcs = [], [], [], []
 
     for leg in range(4):
         q_l = [q[6 + 3 * leg + k] for k in range(3)]
@@ -321,6 +333,9 @@ def _dual_pass(consts, q: Sequence[D], v: Sequence[D], a: Sequence[D],
             Ms.append(vadd(Nm, cross(x_c, F)))
             pjs.append(p_k)
             axs.append(a_w)
+            if want_aux:
+                aux_Rks.append(R_k)
+                aux_xcs.append(x_c)
             R_p, p_p, w_p, v_p, dw_p, dv_p = R_k, p_k, w_k, v_k, dw_k, dv_k
 
         # foot point + velocity (leg tip)
@@ -344,6 +359,9 @@ def _dual_pass(consts, q: Sequence[D], v: Sequence[D], a: Sequence[D],
                                for i in range(3)])
         M_legs = vadd(M_legs, [sum((Ms[n][i] for n in range(4)), D(0.0))
                                for i in range(3)])
+        if want_aux:
+            aux_axs.append(axs)
+            aux_pjs.append(pjs)
 
     # trunk Newton-Euler (body-frame inertia products, as above)
     c_w = matvec(R_b, const_vec(com_t))
@@ -361,7 +379,112 @@ def _dual_pass(consts, q: Sequence[D], v: Sequence[D], a: Sequence[D],
     n_local = matTvec(R_b, n_base_w)
     tau_ang = matTvec(T, n_local)                # E^T = T^T (E = T, linear map)
     tau = F_tot + tau_ang + tau_legs             # list concat: 6 + 12
+    if want_aux:
+        aux = dict(R_b=R_b, T=T, p_b=p_b, axs=aux_axs, pjs=aux_pjs,
+                   Rks=aux_Rks, xcs=aux_xcs, xc_t=x_c)
+        return p_feet, v_feet, tau, aux
     return p_feet, v_feet, tau
+
+
+def _mass_matrix_ypr(consts, aux):
+    """d tau / d a (18x18) in the Euler-ypr chart, from `_dual_pass` aux.
+
+    With tau = [F_world(3), T^T R_b^T n_base(3), joint(12)] and
+    a = [dv_world(3), ypr_dd(3), qdd(12)], the map is S^T M_spatial S for
+    S = blkdiag(I3, R_b T, joint axes): SYMMETRIC and block-sparse — legs
+    couple only through the base, so the 12x12 joint block is 4 independent
+    3x3 leg blocks. Computing it with value-only duals (composite-rigid-body
+    style) replaces 18 tangent seed rows in the linearization kernel: the
+    velocity-product terms of the Newton-Euler pass do not depend on a, so
+    d tau/d a needs no tangents at all. Entries are python floats (folded
+    constants) or (1, L) arrays.
+    """
+    _jp, _ax, m_legs, _com_legs, Ic_legs, _foot, m_t, _com_t, I_t = consts
+
+    sv = lambda vec: [D(e.v) for e in vec]
+    sm = lambda M: [[D(e.v) for e in row] for row in M]
+    dot = lambda a, b: a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+    R_b, T, p_b = sm(aux["R_b"]), sm(aux["T"]), sv(aux["p_b"])
+    A = matmat(R_b, T)                       # ypr_dd -> world angular accel
+    axs = [[sv(aux["axs"][l][k]) for k in range(3)] for l in range(4)]
+    pjs = [[sv(aux["pjs"][l][k]) for k in range(3)] for l in range(4)]
+    xcs = [[sv(aux["xcs"][3 * l + k]) for k in range(3)] for l in range(4)]
+    Rks = [[sm(aux["Rks"][3 * l + k]) for k in range(3)] for l in range(4)]
+    xc_t = sv(aux["xc_t"])
+
+    # world-frame link inertias about the CoM: W = R I_local R^T
+    W = [[matmat(matmat(Rks[l][k], const_mat(Ic_legs[l][k])),
+                 _transpose(Rks[l][k])) for k in range(3)] for l in range(4)]
+    W_t = matmat(matmat(R_b, const_mat(I_t)), _transpose(R_b))
+
+    links = [(float(m_legs[l][k]), xcs[l][k], W[l][k])
+             for l in range(4) for k in range(3)] + [(float(m_t), xc_t, W_t)]
+    m_tot = sum(m for m, _, _ in links)
+
+    M = [[D(0.0) for _ in range(18)] for _ in range(18)]
+
+    def put(r, c, val):
+        M[r][c] = val
+        if r != c:
+            M[c][r] = val
+
+    # ---- base-lin x base-lin: m_tot * I3 ----
+    for c in range(3):
+        M[c][c] = D(m_tot)
+
+    # ---- composite CoM moment + inertia about p_b ----
+    cbar = [D(0.0)] * 3
+    I_comp = [[D(0.0) for _ in range(3)] for _ in range(3)]
+    for m, xc, Wi in links:
+        d = vsub(xc, p_b)
+        cbar = vadd(cbar, vscale(d, m))
+        dd = dot(d, d)
+        for i in range(3):
+            for j in range(3):
+                e = I_comp[i][j] + Wi[i][j] - d[i] * d[j] * m
+                if i == j:
+                    e = e + dd * m
+                I_comp[i][j] = e
+
+    # base-lin rows x base-ang cols: cross(g_j, cbar), g_j = A e_j
+    for j in range(3):
+        gj = [A[0][j], A[1][j], A[2][j]]
+        colF = cross(gj, cbar)
+        for r in range(3):
+            put(r, 3 + j, colF[r])
+    # base-ang x base-ang: A^T I_comp A
+    Maa = matmat(_transpose(A), matmat(I_comp, A))
+    for i in range(3):
+        for j in range(i, 3):
+            put(3 + i, 3 + j, Maa[i][j])
+
+    # ---- joint columns: composite over links k..2 of leg l ----
+    for l in range(4):
+        for k in range(3):
+            g, p0 = axs[l][k], pjs[l][k]
+            F_col = [D(0.0)] * 3
+            M_rel = [D(0.0)] * 3
+            for i in range(k, 3):
+                m = float(m_legs[l][i])
+                d = vsub(xcs[l][i], p0)
+                F_col = vadd(F_col, vscale(cross(g, d), m))
+                # cross(d, cross(g, d)) = (d.d) g - (d.g) d
+                M_rel = vadd(M_rel, matvec(W[l][i], g))
+                M_rel = vadd(M_rel, vsub(vscale(g, dot(d, d) * m),
+                                         vscale(d, dot(d, g) * m)))
+            col = 6 + 3 * l + k
+            for r in range(3):                       # base-lin rows
+                put(r, col, F_col[r])
+            m_ang = vadd(M_rel, cross(vsub(p0, p_b), F_col))
+            rows_ang = matTvec(A, m_ang)             # base-ang rows
+            for r in range(3):
+                put(3 + r, col, rows_ang[r])
+            for r in range(k + 1):                   # same-leg joint rows
+                mom = vadd(M_rel, cross(vsub(p0, pjs[l][r]), F_col))
+                put(6 + 3 * l + r, col, dot(axs[l][r], mom))
+
+    return [[e.v for e in row] for row in M]
 
 
 def fk_feet_dual(consts, q: Sequence[D]):
@@ -515,6 +638,7 @@ def dyncore_pallas(spec, X_nodes, A_nodes, Fe_nodes, *,
 NXL = 36      # state dim
 NUL = 30      # input dim (18 acc + 12 forces)
 NUPL = 32     # padded input rows for the Riccati kernel's tile alignment
+TPX = 40      # padded tangent rows for the x-only lingram pass (36 live)
 
 
 def _make_wconsts(spec, w):
@@ -555,23 +679,33 @@ def _lingram_kernel(consts, wc, include_torque,
     L = X_ref.shape[-1]
 
     def load(ref, idx, seed):
-        tan = _seed_tan(seed) if seed >= 0 else 0.0
+        # x-only seeds at width TPX=40: d tau/d a is built analytically
+        # below (_mass_matrix_ypr), so the accel tangent rows never exist
+        # and every tangent op runs at 5 sublane-registers instead of 7.
+        tan = _seed_tan(seed, TPX) if seed >= 0 else 0.0
         return D(ref[idx], tan)
 
     q = [load(X_ref, i, i) for i in range(18)]
     v = [load(X_ref, 18 + i, 18 + i) for i in range(18)]
-    a = [load(A_ref, i, 36 + i) for i in range(18)]
+    a = [D(A_ref[i]) for i in range(18)]
     cnt = [CNT_ref[i] for i in range(4)]                       # (1, L) each
     f = [[F_ref[3 * leg + c] for c in range(3)] for leg in range(4)]
     fe_v = [[cnt[leg] * f[leg][c] for c in range(3)] for leg in range(4)]
     fe = [[D(fe_v[leg][c]) for c in range(3)] for leg in range(4)]
 
-    p_feet, v_feet, tau = _dual_pass(consts, q, v, a, fe)
+    p_feet, v_feet, tau, aux = _dual_pass(consts, q, v, a, fe, want_aux=True)
+    Mypr = _mass_matrix_ypr(consts, aux)
+
+    def mrow(r):
+        cols = [jnp.broadcast_to(
+                    jnp.asarray(e, f32) if isinstance(e, float) else e,
+                    (1, L)) for e in Mypr[r]]
+        return jnp.concatenate(cols, axis=0)                   # (18, L)
 
     def t_full(d):
         if isinstance(d.t, float):
-            return jnp.zeros((TP, L), f32)
-        return jnp.broadcast_to(_padt(d.t, TP), (TP, L)).astype(f32)
+            return jnp.zeros((TPX, L), f32)
+        return jnp.broadcast_to(_padt(d.t, TPX), (TPX, L)).astype(f32)
 
     tx = lambda d: t_full(d)[:NXL]                             # (36, L)
 
@@ -631,20 +765,32 @@ def _lingram_kernel(consts, wc, include_torque,
         Qa = Qa + outer(u_x, u_x)
         qxa = qxa + (u_x * s)[:, None, :]
 
+    # position-only rows (swing peak, foot-disp, patch, swing-clear) have
+    # zero v-columns: their Gram lives entirely in the (18,18) q-block, so
+    # accumulate at a quarter of the (36,36) outer's vector work and merge
+    # once at the end (q-block sits at offset 0 — no misaligned writes).
+    Qh = jnp.zeros((18, 18, L), f32)
+    qxh = jnp.zeros((18, 1, L), f32)
+
+    def acc_q(u_q, s):
+        nonlocal Qh, qxh
+        Qh = Qh + u_q[:, None, :] * u_q[None, :, :]
+        qxh = qxh + (u_q * s)[:, None, :]
+
     for i in range(4):
-        jp_x = tx(p_feet[i][0])
-        jp_y = tx(p_feet[i][1])
-        jp_z = tx(p_feet[i][2])
+        jp_x = t_full(p_feet[i][0])[:18]
+        jp_y = t_full(p_feet[i][1])[:18]
+        jp_z = t_full(p_feet[i][2])[:18]
         px, py, pz = p_feet[i][0].v, p_feet[i][1].v, p_feet[i][2].v
 
         # swing-peak row
         sc = PK_ref[i] * wc["swing"][i]
-        acc_x(sc * jp_z, sc * (pz - step_h))
+        acc_q(sc * jp_z, sc * (pz - step_h))
 
         # foot-displacement rows (restricted mode)
         sc = restrict * cnt[i] * wc["foot_disp"]
-        acc_x(sc * jp_x, sc * (px - LOC_ref[2 * i]))
-        acc_x(sc * jp_y, sc * (py - LOC_ref[2 * i + 1]))
+        acc_q(sc * jp_x, sc * (px - LOC_ref[2 * i]))
+        acc_q(sc * jp_y, sc * (py - LOC_ref[2 * i + 1]))
 
         # patch-radius hinge row (AL-shifted — LAMI rows 32..35; s>0 rows
         # use the two-sided affine residual, see ocp.problem.hinge_shifted)
@@ -656,27 +802,36 @@ def _lingram_kernel(consts, wc, include_torque,
         act = on + (1.0 - on) * (gap_p > 0.0).astype(f32)
         resid = on * (gap_p + s_p) + (1.0 - on) * jnp.maximum(gap_p, 0.0)
         scp = restrict * cnt[i] * wc["patch"]
-        acc_x((scp * act / dist) * (dx_ * jp_x + dy_ * jp_y), scp * resid)
+        acc_q((scp * act / dist) * (dx_ * jp_x + dy_ * jp_y), scp * resid)
 
-        # contact-pin rows (xy velocity + stabilized z)
+        # contact-pin rows (xy velocity + stabilized z) — v-dependent: dense
+        jp_z36 = t_full(p_feet[i][2])[:NXL]
         scc = cnt[i] * wc["contact_vel"]
         for c in range(2):
             acc_x(scc * tx(v_feet[i][c]),
                   scc * v_feet[i][c].v + cnt[i] * LAM_ref[6 + 3 * i + c])
         stab = wc["stab"][i]
-        acc_x(scc * (tx(v_feet[i][2]) + stab * jp_z),
+        acc_x(scc * (tx(v_feet[i][2]) + stab * jp_z36),
               scc * (v_feet[i][2].v + stab * (pz - PLZ_ref[i]))
               + cnt[i] * LAM_ref[6 + 3 * i + 2])
 
         # swing-clearance hinge row
         cl_act = (PLZ_ref[i] - pz > 0.0).astype(f32)
         scl = (1.0 - cnt[i]) * wc["swing_clear"]
-        acc_x(-scl * cl_act * jp_z,
+        acc_q(-scl * cl_act * jp_z,
               scl * jnp.maximum(PLZ_ref[i] - pz, 0.0))
+
+    # merge the q-block accumulator into the dense Gram
+    Qa = Qa + jnp.concatenate(
+        [jnp.concatenate([Qh, jnp.zeros((18, NXL - 18, L), f32)], axis=1),
+         jnp.zeros((NXL - 18, NXL, L), f32)], axis=0)
+    qxa = qxa + jnp.concatenate(
+        [qxh, jnp.zeros((NXL - 18, 1, L), f32)], axis=0)
 
     # ---- D-stack: dynamics (+ torque hinge) rows — the only x-AND-u rows --
     # d tau_r / d f_eff_(i,c) = -(d v_foot_(i,c) / d v_r): gather the v-block
     # of the foot-velocity tangents once, slice per row below.
+    # d tau_r / d a = the analytic mass-matrix row (values-only CRB pass).
     vft = [t_full(v_feet[i][c])[18:NXL] for i in range(4) for c in range(3)]
     n_tau = 18 if include_torque else 6
     for r in range(n_tau):
@@ -697,7 +852,7 @@ def _lingram_kernel(consts, wc, include_torque,
                                 + (1.0 - on) * jnp.maximum(gap_t, 0.0))
         u_x = sc * t[:NXL]
         f_cols = [(-sc) * cnt[ic // 3] * vft[ic][r:r + 1] for ic in range(12)]
-        u_u = jnp.concatenate([sc * t[NXL:NXL + 18]] + f_cols, axis=0)
+        u_u = jnp.concatenate([sc * mrow(r)] + f_cols, axis=0)
         Qa = Qa + outer(u_x, u_x)
         MTa = MTa + outer(u_u, u_x)
         Ra = Ra + outer(u_u, u_u)
@@ -705,32 +860,56 @@ def _lingram_kernel(consts, wc, include_torque,
         rua = rua + (u_u * s)[:, None, :]
 
     # ---- cone hinge rows: per-foot 5 rows on 3 f cols ----
+    # The 5 cone gradients are CONSTANT vectors, so the foot's 5 rank-1
+    # (30,30) updates collapse to a hand-expanded 3x3 Gram block of scalar
+    # combinations (sum_r act_r^2 g_r g_r^T; zero products dropped),
+    # assembled block-diagonally into the f columns in ONE add.
+    mu = wc["mu"]
+    G_feet, r_feet = [], []
     for i in range(4):
         fx, fy, fz = fe_v[i]
         wcn = wc["cone"] * cnt[i]
-        mu = wc["mu"]
-        rows = [
-            (-fz, (0.0, 0.0, -1.0)),
-            (fx - mu * fz, (1.0, 0.0, -mu)),
-            (-fx - mu * fz, (-1.0, 0.0, -mu)),
-            (fy - mu * fz, (0.0, 1.0, -mu)),
-            (-fy - mu * fz, (0.0, -1.0, -mu)),
-        ]
-        zhead = jnp.zeros((18 + 3 * i, L), f32)
-        ztail = jnp.zeros((9 - 3 * i, L), f32) if i < 3 else None
-        for ri, (g_val, grad) in enumerate(rows):
+        gvals = [-fz, fx - mu * fz, -fx - mu * fz,
+                 fy - mu * fz, -fy - mu * fz]
+        a2, asv = [], []
+        for ri, g_val in enumerate(gvals):
             # AL-shifted cone hinge (LAMI rows 0..19, cnt-masked shift;
             # two-sided affine row when s>0 — ocp.problem.hinge_shifted)
             s_c = cnt[i] * LAMI_ref[5 * i + ri]
             on = (s_c > 0.0).astype(f32)
             act = (on + (1.0 - on) * (g_val > 0.0).astype(f32)) * wcn
-            u3 = [jnp.broadcast_to(act * g, (1, L)) for g in grad]
-            parts = [zhead] + u3 + ([ztail] if ztail is not None else [])
-            u_u = jnp.concatenate(parts, axis=0)               # (30, L)
-            s = wc["cone"] * (on * (g_val + s_c)
-                              + (1.0 - on) * jnp.maximum(g_val, 0.0))
-            Ra = Ra + outer(u_u, u_u)
-            rua = rua + (u_u * s)[:, None, :]
+            sval = wc["cone"] * (on * (g_val + s_c)
+                                 + (1.0 - on) * jnp.maximum(g_val, 0.0))
+            a2.append(act * act)
+            asv.append(act * sval)
+        G02 = mu * (a2[2] - a2[1])
+        G12 = mu * (a2[4] - a2[3])
+        z1 = jnp.zeros((1, L), f32)
+        G_feet.append([
+            [a2[1] + a2[2], z1, G02],
+            [z1, a2[3] + a2[4], G12],
+            [G02, G12, a2[0] + mu * mu * (a2[1] + a2[2] + a2[3] + a2[4])],
+        ])
+        r_feet.append([asv[1] - asv[2], asv[3] - asv[4],
+                       -asv[0] - mu * (asv[1] + asv[2] + asv[3] + asv[4])])
+    z33 = jnp.zeros((3, 3, L), f32)
+
+    def gmat(Gi):                                              # -> (3, 3, L)
+        return jnp.concatenate(
+            [jnp.concatenate([e[:, None, :] for e in row], axis=1)
+             for row in Gi], axis=0)
+
+    blkrows = [jnp.concatenate([z33] * i + [gmat(Gi)] + [z33] * (3 - i),
+                               axis=1)                         # (3, 12, L)
+               for i, Gi in enumerate(G_feet)]
+    B12 = jnp.concatenate(blkrows, axis=0)                     # (12, 12, L)
+    Ra = Ra + jnp.concatenate(
+        [jnp.zeros((NUL, 18, L), f32),
+         jnp.concatenate([jnp.zeros((18, 12, L), f32), B12], axis=0)],
+        axis=1)
+    rua = rua + jnp.concatenate(
+        [jnp.zeros((18, 1, L), f32)]
+        + [r[:, None, :] for rf in r_feet for r in rf], axis=0)
 
     # ---- emit in the Riccati kernel's layout (u rows padded to 32) ----
     zpad = jnp.zeros((NUPL - NUL, NXL, L), f32)

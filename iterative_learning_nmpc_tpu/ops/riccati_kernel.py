@@ -165,8 +165,19 @@ def _terminal_gram_init(term, XN_ref, XREFE_ref, PKN_ref, SH_ref, P_s, p_s):
 
 
 def _riccati_kernel(h: float, lm: float, N: int, interpret: bool,
-                    unrolled: bool, term, *refs):
-    if term is None:
+                    unrolled: bool, term, rollout: bool, *refs):
+    if rollout:
+        # gains stay in VMEM scratch; the affine rollout at alpha=1 runs in
+        # the last grid step and only (dX, dU) ever reach HBM.
+        if term is None:
+            (Q_ref, R_ref, MT_ref, qx_ref, ru_ref, dr_ref, PN_ref, pN_ref,
+             DRF_ref, DX0_ref, dX_ref, dU_ref, P_s, p_s, K_s, kff_s) = refs
+        else:
+            (Q_ref, R_ref, MT_ref, qx_ref, ru_ref, dr_ref, XN_ref, XREFE_ref,
+             PKN_ref, SH_ref, DRF_ref, DX0_ref, dX_ref, dU_ref, P_s, p_s,
+             K_s, kff_s) = refs
+        K_ref = kff_ref = None
+    elif term is None:
         (Q_ref, R_ref, MT_ref, qx_ref, ru_ref, dr_ref, PN_ref, pN_ref,
          K_ref, kff_ref, P_s, p_s) = refs
     else:
@@ -230,10 +241,37 @@ def _riccati_kernel(h: float, lm: float, N: int, interpret: bool,
 
     if unrolled:
         K, kff, P_new, p_new = _solve_node_unrolled(Qxx, Quu, Qux, qxp, qu)
-        K_ref[0] = K
-        kff_ref[0] = kff
+        if not rollout:
+            K_ref[0] = K
+            kff_ref[0] = kff
+            P_s[...] = P_new
+            p_s[...] = p_new
+            return
+        node = N - 1 - j
+        K_s[pl.ds(node, 1)] = K[None]
+        kff_s[pl.ds(node, 1)] = kff[None]
         P_s[...] = P_new
         p_s[...] = p_new
+
+        @pl.when(j == N - 1)
+        def _():
+            # affine rollout at alpha=1 over the VMEM-resident gains
+            # (math mirrors _forward_kernel / sqp._forward_delta_structured)
+            cv = jax.lax.broadcasted_iota(i32, (1, NXK, 1), 1)
+            maskq = _f(cv < 18)
+            dx = DX0_ref[...]                       # (1, 36, L)
+            for n in range(N):
+                Kn = K_s[n]                         # (30, 36, L)
+                kffn = kff_s[n]                     # (30, 1, L)
+                d = DRF_ref[n]                      # (1, 36, L)
+                du = jnp.sum(Kn * dx, axis=1, keepdims=True) + kffn
+                du36 = sum(du[r:r + 1] * _f((cv == r) | (cv == r + 18))
+                           for r in range(18))
+                dX_ref[n] = dx
+                dU_ref[n] = du
+                dx = (dx + h * (roll(dx, 18) * maskq)
+                      + du36 * (hh * maskq + h * (1.0 - maskq)) + d)
+            dX_ref[N] = dx
         return
 
     # ---- masked Cholesky: Quu = L L^T (symmetric rank-1 right-looking) ----
@@ -365,7 +403,7 @@ def riccati_pallas_batched(h: float, lm: float, Q, R, M, qx_vec, ru_vec,
     ]
     Kt, kfft = pl.pallas_call(
         functools.partial(_riccati_kernel, float(h), float(lm), N, interpret,
-                          unrolled, None),
+                          unrolled, None, False),
         out_shape=[
             jax.ShapeDtypeStruct((N, NUK, NXK, Bp), f32),
             jax.ShapeDtypeStruct((N, NUK, 1, Bp), f32),
@@ -451,7 +489,7 @@ def riccati_pallas_lane_major(h: float, lm: float, Qt, Rt, MTt, qxt, rut,
     ]
     Kt, kfft = pl.pallas_call(
         functools.partial(_riccati_kernel, float(h), float(lm), N, interpret,
-                          True, term),
+                          True, term, False),
         out_shape=[
             jax.ShapeDtypeStruct((N, NUK, NXK, Bp), f32),
             jax.ShapeDtypeStruct((N, NUK, 1, Bp), f32),
@@ -473,6 +511,105 @@ def riccati_pallas_lane_major(h: float, lm: float, Qt, Rt, MTt, qxt, rut,
     K = jnp.moveaxis(Kt, -1, 0)[:B]                 # (B, N, 30, 36)
     kff = jnp.moveaxis(kfft[..., 0, :], -1, 0)[:B]  # (B, N, 30)
     return K, kff
+
+
+def riccati_rollout_lane_major(h: float, lm: float, Qt, Rt, MTt, qxt, rut,
+                               defects, dx0, P_N=None, p_N=None, *,
+                               terminal=None, interpret: bool = False
+                               ) -> Tuple[jax.Array, jax.Array]:
+    """Fused backward sweep + affine rollout in ONE kernel: the gains
+    (K, kff) live in VMEM scratch across the node grid and the alpha=1
+    rollout runs inside the last grid step (node 0), so K/kff NEVER reach
+    HBM (~120 MB round-trip saved at B=512, N=25, plus a kernel launch).
+    Inputs as riccati_pallas_lane_major plus dx0 (B, 36) batch-major.
+    Returns dX1 (B, N+1, 36), dU1 (B, N, 30) batch-major (f32).
+    """
+    N, Bp = Qt.shape[0], Qt.shape[-1]
+    B = defects.shape[0]
+    pad = Bp - B
+    f32 = jnp.float32
+
+    def blast(x):
+        if pad:
+            x = jnp.concatenate(
+                [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
+        return jnp.moveaxis(x, 0, -1)
+
+    drt = blast(defects.astype(f32)[:, :, None, :])               # (N,1,36,Bp)
+    x0 = dx0.astype(f32)
+    if pad:
+        x0 = jnp.concatenate([x0, jnp.zeros((pad, NXK), f32)], axis=0)
+    dx0t = jnp.moveaxis(x0, 0, -1)[None]                          # (1,36,Bp)
+
+    nb = Bp // LB
+    node = lambda i, j: (N - 1 - j, 0, 0, i)
+    fixed3 = lambda i, j: (0, 0, i)
+    fixed4 = lambda i, j: (0, 0, 0, i)
+    in_specs = [
+        pl.BlockSpec((1, NXK, NXK, LB), node, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, NUP, NUP, LB), node, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, NUP, NXK, LB), node, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, NXK, 1, LB), node, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, NUP, 1, LB), node, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, NXK, LB), node, memory_space=pltpu.VMEM),
+    ]
+    if terminal is None:
+        term = None
+        extra = [blast(P_N.astype(f32)), blast(p_N.astype(f32)[..., None])]
+        in_specs += [
+            pl.BlockSpec((NXK, NXK, LB), fixed3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((NXK, 1, LB), fixed3, memory_space=pltpu.VMEM),
+        ]
+    else:
+        xN, xref_e, peak_N, step_h, consts, wTe2, swing, reg = terminal
+        term = (consts, wTe2, swing, reg)
+        col = lambda x: blast(x.astype(f32)[..., None])           # (d,1,Bp)
+        extra = [col(xN), col(xref_e), col(peak_N),
+                 col(step_h.reshape(-1, 1))]
+        in_specs += [
+            pl.BlockSpec((NXK, 1, LB), fixed3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((NXK, 1, LB), fixed3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, 1, LB), fixed3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, LB), fixed3, memory_space=pltpu.VMEM),
+        ]
+    # the full defect stack again, as ONE fixed block for the in-kernel
+    # rollout (the streamed per-node copy above feeds the backward sweep)
+    in_specs += [
+        pl.BlockSpec((N, 1, NXK, LB), fixed4, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, NXK, LB), fixed3, memory_space=pltpu.VMEM),
+    ]
+    out_specs = [
+        pl.BlockSpec((N + 1, 1, NXK, LB), fixed4, memory_space=pltpu.VMEM),
+        pl.BlockSpec((N, NUK, 1, LB), fixed4, memory_space=pltpu.VMEM),
+    ]
+    dXt, dUt = pl.pallas_call(
+        functools.partial(_riccati_kernel, float(h), float(lm), N, interpret,
+                          True, term, True),
+        out_shape=[
+            jax.ShapeDtypeStruct((N + 1, 1, NXK, Bp), f32),
+            jax.ShapeDtypeStruct((N, NUK, 1, Bp), f32),
+        ],
+        grid=(nb, N),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=[
+            pltpu.VMEM((NXK, NXK, LB), f32),
+            pltpu.VMEM((NXK, 1, LB), f32),
+            pltpu.VMEM((N, NUK, NXK, LB), f32),
+            pltpu.VMEM((N, NUK, 1, LB), f32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            # gains scratch (N,30,36,128) f32 ~ 17.7 MB exceeds the 16 MiB
+            # default scoped budget; v5e-class assumption as in
+            # dynjac_kernel.lingram_lane_major (ADVICE r1 note applies)
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(Qt, Rt, MTt, qxt, rut, drt, *extra, drt, dx0t)
+    dX = jnp.moveaxis(dXt[:, 0], -1, 0)[:B]         # (B, N+1, 36)
+    dU = jnp.moveaxis(dUt[..., 0, :], -1, 0)[:B]    # (B, N, 30)
+    return dX, dU
 
 
 def _forward_kernel(h: float, interpret: bool,

@@ -549,19 +549,18 @@ class TrajOptSolver:
         linearize->Riccati->forward chain: the lingram Pallas kernel emits
         the GN blocks in the Riccati kernel's lane-major layout
         (ops/dynjac_kernel.lingram_lane_major ->
-        ops/riccati_kernel.riccati_pallas_lane_major), and the forward
-        kernel (forward_rollout_lane_major) consumes the raw lane-major
-        K/kff, so neither the GN blocks nor the gains ever exist
-        batch-major in HBM. Returns the alpha=1 step (dX1, dU1); the line
-        search is an elementwise scale from there (_merit_select).
-        Unbatched solves keep the structured XLA path (latency at B=1)."""
+        ops/riccati_kernel.riccati_rollout_lane_major), and the affine
+        rollout runs INSIDE the Riccati kernel over VMEM-resident gains,
+        so neither the GN blocks nor K/kff ever exist in HBM at all.
+        Returns the alpha=1 step (dX1, dU1); the line search is an
+        elementwise scale from there (_merit_select). Unbatched solves
+        keep the structured XLA path (latency at B=1)."""
         if hasattr(self, "_fused_lr"):
             return self._fused_lr
         import numpy as _np
 
         from ..ops.dynjac_kernel import _make_consts, lingram_lane_major
-        from ..ops.riccati_kernel import (
-            forward_rollout_lane_major, riccati_pallas_lane_major)
+        from ..ops.riccati_kernel import riccati_rollout_lane_major
         from .linearize import lingram_structured
 
         spec, w = self.spec, self.weights
@@ -612,20 +611,9 @@ class TrajOptSolver:
             terminal = (X[:, -1], xref_e, p.peak[:, :, -1],
                         jnp.broadcast_to(jnp.asarray(p.step_height), (B,)),
                         fk_consts, wTe2, swing_w, reg_e)
-            Kt, kfft = riccati_pallas_lane_major(
-                h, lm, Qt, Rt, MTt, qxt, rut, defects,
-                terminal=terminal, raw_out=True)
-            # defects-as-rows in the same lane-major layout the Riccati
-            # kernel consumed (small: (N,1,36,Bp))
-            Bp = Kt.shape[-1]
-            pad = Bp - defects.shape[0]
-            drt = defects.astype(jnp.float32)[:, :, None, :]
-            if pad:
-                drt = jnp.concatenate(
-                    [drt, jnp.zeros((pad,) + drt.shape[1:], jnp.float32)],
-                    axis=0)
-            drt = jnp.moveaxis(drt, 0, -1)
-            dX1, dU1 = forward_rollout_lane_major(h, Kt, kfft, drt, dx0)
+            dX1, dU1 = riccati_rollout_lane_major(
+                h, lm, Qt, Rt, MTt, qxt, rut, defects, dx0,
+                terminal=terminal)
             return (dX1.astype(X.dtype), dU1.astype(X.dtype)), (True, True)
 
         self._fused_lr = fused

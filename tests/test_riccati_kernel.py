@@ -177,3 +177,50 @@ def test_riccati_terminal_in_kernel_matches_xla_terminal():
     kscale = max(1.0, float(jnp.max(jnp.abs(k0))))
     np.testing.assert_allclose(np.asarray(k1), np.asarray(k0),
                                atol=5e-5 * kscale)
+
+
+def test_riccati_rollout_in_kernel_matches_oracle():
+    """riccati_rollout_lane_major (backward sweep + alpha=1 rollout fused in
+    one kernel, gains VMEM-resident) vs _riccati_solve_structured +
+    _forward_delta_structured."""
+    from iterative_learning_nmpc_tpu.ops.riccati_kernel import (
+        riccati_rollout_lane_major)
+    from iterative_learning_nmpc_tpu.solver.sqp import (
+        _forward_delta_structured)
+
+    rng = np.random.RandomState(21)
+    B, N, h, lm = 3, 6, 0.04, 1e-6
+    Q, R, M, qx, ru, P_N, p_N, d = _random_blocks(rng, B, N)
+    dx0 = 0.05 * rng.randn(B, 36).astype(np.float32)
+
+    # pack into the lane-major layout the lingram kernel emits
+    Bp, pu = 128, 2
+    pad = Bp - B
+    blast = lambda x: jnp.moveaxis(
+        jnp.concatenate(
+            [jnp.asarray(x, jnp.float32),
+             jnp.zeros((pad,) + x.shape[1:], jnp.float32)], axis=0), 0, -1)
+    Qt = blast(Q)
+    Rt = blast(np.pad(R, ((0, 0), (0, 0), (0, pu), (0, pu))))
+    MTt = blast(np.pad(np.swapaxes(M, 2, 3), ((0, 0), (0, 0), (0, pu), (0, 0))))
+    qxt = blast(qx[..., None])
+    rut = blast(np.pad(ru, ((0, 0), (0, 0), (0, pu)))[..., None])
+
+    dX1, dU1 = riccati_rollout_lane_major(
+        h, lm, Qt, Rt, MTt, qxt, rut, jnp.asarray(d), jnp.asarray(dx0),
+        jnp.asarray(P_N), jnp.asarray(p_N), interpret=True)
+
+    K0, k0 = jax.vmap(
+        lambda *a: _riccati_solve_structured(h, *a, np.float32(lm))
+    )(*map(jnp.asarray, (Q, R, M, qx, ru, P_N, p_N, d)))
+    dX0, dU0 = jax.vmap(
+        lambda Kb, kb, db, x0: _forward_delta_structured(
+            h, Kb, kb, db, x0, np.float32(1.0))
+    )(K0, k0, jnp.asarray(d), jnp.asarray(dx0))
+
+    sx = max(1.0, float(jnp.max(jnp.abs(dX0))))
+    su = max(1.0, float(jnp.max(jnp.abs(dU0))))
+    np.testing.assert_allclose(np.asarray(dX1), np.asarray(dX0),
+                               atol=3e-4 * sx)
+    np.testing.assert_allclose(np.asarray(dU1), np.asarray(dU0),
+                               atol=3e-4 * su)
