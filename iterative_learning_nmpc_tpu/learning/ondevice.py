@@ -139,24 +139,31 @@ def make_batched_mpc_rollout(
         track = jnp.any(jnp.abs(v[:2] - v_des[:2]) > VEL_TRACK_TOL)
         return pose | joints | track
 
+    def _norm_arrays(norm):
+        """(mu_s, sigma_s, mu_g, sigma_g) -> guarded f32 arrays (jnp: must
+        also work on tracers — `fn` is jitted and norm stats are traced)."""
+        f32 = jnp.float32
+        s_std = jnp.asarray(norm[1], f32)
+        g_std = jnp.asarray(norm[3], f32)
+        return (jnp.asarray(norm[0], f32),
+                jnp.where(s_std > 1e-8, s_std, 1.0),
+                jnp.asarray(norm[2], f32),
+                jnp.where(g_std > 1e-8, g_std, 1.0))
+
     if policy is not None:
         pol_net, pol_vars, pol_norm = policy
-        if pol_norm is not None:
-            _s_mean = np.asarray(pol_norm[0], np.float32)
-            _s_std = np.where(np.asarray(pol_norm[1]) > 1e-8,
-                              np.asarray(pol_norm[1]), 1.0).astype(np.float32)
-            _g_mean = np.asarray(pol_norm[2], np.float32)
-            _g_std = np.where(np.asarray(pol_norm[3]) > 1e-8,
-                              np.asarray(pol_norm[3]), 1.0).astype(np.float32)
+        has_norm = pol_norm is not None
 
-        def policy_tau(state44, q, v, v_des):
+        def policy_tau(pstate, state44, q, v, v_des):
+            pvars, nrm = pstate
             s = state44
             g = v_des
-            if pol_norm is not None:
-                s = s.at[1:].set((s[1:] - _s_mean[1:]) / _s_std[1:])
-                g = (g - _g_mean) / _g_std
+            if has_norm:
+                s_mean, s_std, g_mean, g_std = nrm
+                s = s.at[1:].set((s[1:] - s_mean[1:]) / s_std[1:])
+                g = (g - g_mean) / g_std
             x_in = jnp.concatenate([s, g])
-            a = pol_net.apply(pol_vars, x_in[None], train=False)[0]
+            a = pol_net.apply(pvars, x_in[None], train=False)[0]
             return policy_kp * (a - q[6:]) - policy_kd * v[6:]
 
     def params_for(node_i, x, ref_xy_yaw, v_des):
@@ -193,10 +200,13 @@ def make_batched_mpc_rollout(
             lam_ineq=jnp.zeros((N, 36), x.dtype),
         )
 
-    def one_env(x0, v_des, plant_spec, terrain):
+    def one_env(x0, v_des, plant_spec, terrain, pstate):
         """plant_spec / terrain carry per-env domain randomization (payload,
         ground height, contact params); the CONTROLLER model stays nominal —
-        model-plant mismatch is the realistic robustness setting."""
+        model-plant mismatch is the realistic robustness setting. `pstate`
+        is (policy weights, norm stats) as a TRACED argument so DAgger
+        iterations reuse the compiled rollout with fresh weights (unused
+        when the rollout has no policy)."""
         # initial converged plan (cold start, a few SQP iterations)
         p0 = params_for(0, x0, jnp.concatenate([x0[:2], x0[3:4]]), v_des)
         Xw, Uw = solver.cold_start(p0)
@@ -246,7 +256,8 @@ def make_batched_mpc_rollout(
                     # SafeDAgger: both controllers act; hysteresis switch
                     # (reference Rollout_combined_controller.py:449-499)
                     tau_pol = jnp.clip(
-                        policy_tau(state44, st.q, st.v, v_des), -tl, tl)
+                        policy_tau(pstate, state44, st.q, st.v, v_des),
+                        -tl, tl)
                     unsafe = unsafe_v2_dev(st.q, st.v, v_des)
                     in_delay = stepc < delay_steps
                     leave_mpc = (mpc_cnt + 1 >= mpc_min_steps) & ~unsafe
@@ -315,13 +326,18 @@ def make_batched_mpc_rollout(
     vmapped = jax.vmap(
         one_env,
         in_axes=(0, 0, payload_spec_axes(spec),
-                 TerrainParams(0, jax_sim.ContactParams(0, 0, 0, 0))),
+                 TerrainParams(0, jax_sim.ContactParams(0, 0, 0, 0)), None),
     )
 
-    def fn(x0, v_des, plant_spec=None, terrain=None):
+    def fn(x0, v_des, plant_spec=None, terrain=None, policy_update=None):
         """x0 (B, 36), v_des (B, 3); optional per-env plant randomization:
         plant_spec from randomize.randomize_payload, terrain from
-        randomize.randomize_terrain (defaults = nominal plant)."""
+        randomize.randomize_terrain (defaults = nominal plant).
+        `policy_update=(variables, (mu_s, sigma_s, mu_g, sigma_g))`
+        overrides the policy weights + norm stats per call (same pytree
+        structure, norm presence must match the build-time policy) without
+        recompiling — the DAgger outer loop's retrained policies go
+        through here."""
         B = x0.shape[0]
         if plant_spec is None:
             import dataclasses as _dc
@@ -340,6 +356,14 @@ def make_batched_mpc_rollout(
                     lambda x: jnp.broadcast_to(jnp.asarray(x), (B,)), cp
                 ),
             )
-        return vmapped(x0, v_des, plant_spec, terrain)
+        if policy is None:
+            pstate = jnp.zeros(())
+        elif policy_update is None:
+            pstate = (pol_vars,
+                      _norm_arrays(pol_norm) if pol_norm is not None else ())
+        else:
+            pv, nrm = policy_update
+            pstate = (pv, _norm_arrays(nrm) if nrm is not None else ())
+        return vmapped(x0, v_des, plant_spec, terrain, pstate)
 
     return jax.jit(fn)

@@ -126,10 +126,25 @@ class BehavioralCloning:
         key = jax.random.PRNGKey(cfg.seed)
         if warm_start_path is not None:
             net, variables, _ = load_policy(warm_start_path)
+            # checkpoint net_config must describe the WARM-STARTED net, not
+            # this TrainConfig's (possibly different) architecture — else
+            # the saved payload reloads with mismatched shapes
+            net_config = dict(
+                input_size=net.input_size, output_size=net.output_size,
+                num_hidden_layer=net.num_hidden_layer,
+                hidden_dim=net.hidden_dim, batch_norm=net.batch_norm,
+                dropout_rate=net.dropout_rate,
+            )
         else:
             net, variables = init_network(
                 key, cfg.input_size, cfg.output_size, cfg.num_hidden_layer,
                 cfg.hidden_dim, cfg.batch_norm, cfg.dropout_rate,
+            )
+            net_config = dict(
+                input_size=cfg.input_size, output_size=cfg.output_size,
+                num_hidden_layer=cfg.num_hidden_layer,
+                hidden_dim=cfg.hidden_dim, batch_norm=cfg.batch_norm,
+                dropout_rate=cfg.dropout_rate,
             )
         params = variables["params"]
         batch_stats = variables.get("batch_stats")
@@ -148,11 +163,6 @@ class BehavioralCloning:
 
         n_batches = max(len(train_idx) // cfg.batch_size, 1)
         norm = database.get_database_mean_std()
-        net_config = dict(
-            input_size=cfg.input_size, output_size=cfg.output_size,
-            num_hidden_layer=cfg.num_hidden_layer, hidden_dim=cfg.hidden_dim,
-            batch_norm=cfg.batch_norm, dropout_rate=cfg.dropout_rate,
-        )
 
         os.makedirs(cfg.save_dir, exist_ok=True)
         final_path = os.path.join(cfg.save_dir, f"policy_{cfg.run_name}_final.pkl")

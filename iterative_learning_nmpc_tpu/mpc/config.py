@@ -230,6 +230,13 @@ def _go2_trot_cost() -> MPCCostConfig:
 
 
 def _go2_slow_trot_cost() -> MPCCostConfig:
+    """Slow trot (1.0 s period, 0.63 stance), weights from the reference
+    table (`config/quadruped/mpc_cost.py`). KNOWN LIMITATION: validated for
+    trajectory optimization (tests/test_gait_and_variants.py::
+    test_gait_solves_converge) but NOT closed-loop stable under the MuJoCo
+    plant at 0.15 m/s (lateral tip-over ~1.5 s; adding xy/vel tracking
+    weights trades it for a swing-leg collision ~0.9 s). Use "trot" or
+    "crawl" for slow closed-loop locomotion; tuning debt tracked here."""
     W = np.array([
         0e0, 0e0, 5e3,
         0e0, 3e3, 3e3,
@@ -302,11 +309,24 @@ def _solo12_trot_cost() -> MPCCostConfig:
     return cfg
 
 
+def _go2_bound_cost() -> MPCCostConfig:
+    """Bound gait (front/rear leg pairs, GAITS['bound'] bitmap, 0.6 stance
+    so the pairs overlap — no flight phase). The trot table transfers:
+    closed-loop validated at 0.3 m/s over 3 s (mean vx 0.299, height
+    0.278 m, |roll| < 0.01, |pitch| < 0.12 rad — the fore-aft rocking is
+    the gait, tests/test_gait_walking.py). The reference ships NO bound
+    table (`config/quadruped/mpc_cost.py:131-145` is trot/slow-trot only)."""
+    cfg = _go2_trot_cost()
+    cfg.gait_name = "bound"
+    return cfg
+
+
 COSTS = {
     ("go2", "trot"): _go2_trot_cost,
     ("go2", "slow_trot"): _go2_slow_trot_cost,
     ("go2", "pace"): _go2_pace_cost,
     ("go2", "crawl"): _go2_crawl_cost,
+    ("go2", "bound"): _go2_bound_cost,
     ("solo12", "trot"): _solo12_trot_cost,
 }
 

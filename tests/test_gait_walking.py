@@ -42,3 +42,16 @@ def test_go2_crawl_velocity_tracking(go2):
     assert abs(v[half:, 0].mean() - 0.2) < 0.06
     assert 0.24 < q[half:, 2].mean() < 0.32
     assert np.abs(q[:, 5]).max() < 0.1
+
+
+@pytest.mark.slow
+def test_go2_bound_velocity_tracking(go2):
+    """Bound (front/rear pairs): the fore-aft rocking gait. Thresholds from
+    the measured closed-loop run recorded in mpc/config._go2_bound_cost."""
+    res, q, v = _walk(go2, "bound", 0.3)
+    assert not res.fell, res
+    half = len(v) // 2
+    assert abs(v[half:, 0].mean() - 0.3) < 0.06
+    assert 0.24 < q[half:, 2].mean() < 0.32
+    assert np.abs(q[:, 5]).max() < 0.05   # roll stays small
+    assert np.abs(q[:, 4]).max() < 0.20   # bounded fore-aft rocking
