@@ -468,6 +468,73 @@ def dual_g_dyncore(spec, w: Weights, Xb, Ub, pb: OCPParams,
               (p_feet, v_feet, tau))
 
 
+def cost_dual_dyncore(spec, w: Weights, Xb, Ub, pb: OCPParams,
+                      interpret: bool = False):
+    """Merit cost AND both AL dual-update inputs from ONE fused primal
+    launch: (cost (B,), r_eq (B, N, 18), g_ineq (B, N, NC_INEQ)).
+
+    The full-step RTI path (single line-search candidate) evaluates the
+    merit cost and the dual updates at the SAME iterate — the accepted
+    (X, U) — so the FK/RNEA core is shared instead of launching
+    total_cost_dyncore and dual_g_dyncore separately (the dyncore pass is
+    ~80% of each). The terminal node's FK rides along as an extra node
+    with zero inputs, exactly as in total_cost_dyncore."""
+    from ..ops.dynjac_kernel import dyncore_pallas
+    from ..ocp.problem import (equality_residuals, ineq_values,
+                               stage_residual, terminal_residual)
+
+    B, N = Ub.shape[0], Ub.shape[1]
+    cnt_n = jnp.swapaxes(pb.cnt[:, :, :N], 1, 2)                # (B, N, 4)
+    f_n = Ub[..., 18:30].reshape(B, N, 4, 3)
+    fe = cnt_n[..., None] * f_n
+
+    zero_a = jnp.zeros((B, 1, 18), Xb.dtype)
+    zero_f = jnp.zeros((B, 1, 12), Xb.dtype)
+    A_all = jnp.concatenate([Ub[..., :18], zero_a], axis=1).reshape(-1, 18)
+    Fe_all = jnp.concatenate([fe.reshape(B, N, 12), zero_f],
+                             axis=1).reshape(-1, 12)
+    prim = dyncore_pallas(spec, Xb.reshape(B * (N + 1), NX), A_all, Fe_all,
+                          interpret=interpret).reshape(B, N + 1, 42)
+    p_feet = prim[:, :N, :12].reshape(B, N, 4, 3)
+    v_feet = prim[:, :N, 12:24].reshape(B, N, 4, 3)
+    tau = prim[:, :N, 24:]
+    p_feet_T = prim[:, N, :12].reshape(B, 4, 3)
+
+    peak_n = jnp.swapaxes(pb.peak[:, :, :N], 1, 2)
+    plane_n = jnp.moveaxis(pb.plane_point[:, :, :N], 2, 1)
+    loc_n = jnp.moveaxis(pb.cnt_loc[:, :, :N], 2, 1)
+    patch_n = jnp.swapaxes(pb.patch_radius[:, :, :N], 1, 2)
+
+    def one(x, u, cnt, peak, plane, loc, patch, lam, lami, rstr, bref,
+            jref, sh, core):
+        pf, vf, tk = core
+        r = stage_residual(
+            spec, w, x, u, cnt, peak, plane, loc, patch, rstr, bref, jref,
+            sh, lam_k=lam, lam_ineq_k=lami, include_torque=True, core=core)
+        r_eq = equality_residuals(spec, w, x, u, cnt, plane,
+                                  core=(pf, vf, tk))
+        g = ineq_values(spec, w, x, u, cnt, loc, patch, rstr, core=(pf, tk))
+        return r, r_eq, g
+
+    fn = jax.vmap(jax.vmap(
+        one, in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0, None, None, None, None,
+                      (0, 0, 0)),
+    ), in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, (0, 0, 0)))
+    r, r_eq, g = fn(
+        Xb[:, :-1], Ub, cnt_n, peak_n, plane_n, loc_n, patch_n, pb.lam_eq,
+        pb.lam_ineq, pb.restrict, pb.base_ref, pb.joint_ref, pb.step_height,
+        (p_feet, v_feet, tau),
+    )
+    r_term = jax.vmap(
+        lambda x, peak, bref_e, jref, sh, pfT: terminal_residual(
+            spec, w, x, peak, bref_e, jref, sh, p_feet=pfT)
+    )(Xb[:, -1], pb.peak[:, :, -1], pb.base_ref_e, pb.joint_ref,
+      pb.step_height, p_feet_T)
+    cost = 0.5 * jnp.sum(r * r, axis=(1, 2)) + 0.5 * jnp.sum(
+        r_term * r_term, axis=1)
+    return cost, r_eq, g
+
+
 def lingram_structured(spec, w: Weights, Xb, Ub, pb: OCPParams,
                        include_torque: bool = True,
                        interpret: bool = False):

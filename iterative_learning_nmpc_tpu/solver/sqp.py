@@ -409,7 +409,7 @@ class TrajOptSolver:
 
     # ---------------- one SQP iteration ----------------
     def _sqp_iter(self, X, U, p: OCPParams, merit_rho, alphas=None,
-                  use_fast_linearize=True):
+                  use_fast_linearize=True, skip_merit=False):
         w = self.weights
         dynjac = self._linearize_mode == "dynjac" and not self.time_opt
         fused = dynjac and self._riccati_mode == "pallas"
@@ -420,6 +420,8 @@ class TrajOptSolver:
             defects = self._defects(X, U, p)
             dx0 = p.x0 - X[0]
             dX1, dU1 = self._get_fused_lr()(X, U, p, defects, dx0)
+            if skip_merit:
+                return self._full_step(X, U, dX1, dU1, defects, alphas)
             return self._merit_select(X, U, p, dX1, dU1, defects,
                                       merit_rho, alphas)
         if dynjac:
@@ -505,10 +507,11 @@ class TrajOptSolver:
             )
 
         return self._line_search(X, U, p, K, kff, defects, dx0, merit_rho,
-                                 alphas, structured, A_dyn, B_dyn)
+                                 alphas, structured, A_dyn, B_dyn,
+                                 skip_merit=skip_merit)
 
     def _line_search(self, X, U, p, K, kff, defects, dx0, merit_rho, alphas,
-                     structured, A_dyn=None, B_dyn=None):
+                     structured, A_dyn=None, B_dyn=None, skip_merit=False):
         # The affine rollout is homogeneous in alpha (dx0, kff, and the
         # defect drive all carry the step scale), so ONE rollout at alpha=1
         # gives every candidate: dX(alpha) = alpha * dX(1). The per-alpha
@@ -519,8 +522,22 @@ class TrajOptSolver:
                 self.dt_nodes, K, kff, defects, dx0, one)
         else:
             dX1, dU1 = _forward_delta(A_dyn, B_dyn, K, kff, defects, dx0, one)
+        if skip_merit:
+            return self._full_step(X, U, dX1, dU1, defects, alphas)
         return self._merit_select(X, U, p, dX1, dU1, defects, merit_rho,
                                   alphas)
+
+    def _full_step(self, X, U, dX1, dU1, defects, alphas):
+        """Single-candidate step with NO merit evaluation (acados SQP_RTI
+        semantics — `real_time_it` takes the full Newton step). The cost
+        slot carries the PRE-step defect l1-norm instead; solve() folds the
+        true cost in from the shared cost+dual evaluation at the accepted
+        iterate (_cost_dual), which saves one full FK/RNEA pass per step."""
+        a = jnp.asarray(alphas)[0].astype(X.dtype)
+        X_new = X + a * dX1
+        U_new = U + a * dU1
+        step_norm = a * jnp.max(jnp.abs(dU1))
+        return X_new, U_new, jnp.sum(jnp.abs(defects)), step_norm, a
 
     def _merit_select(self, X, U, p, dX1, dU1, defects, merit_rho, alphas):
         def candidate(alpha):
@@ -690,6 +707,9 @@ class TrajOptSolver:
         alphas = (
             self.opt.ls_alphas_steady if n_iter <= 1 else self.opt.ls_alphas
         )
+        # single candidate => full-step RTI: skip the merit evaluation and
+        # fold the cost into the shared cost+dual epilogue (_cost_dual)
+        single = len(tuple(alphas)) == 1 and not self.time_opt
         nlp_tol = jnp.asarray(self.opt.nlp_tol, X.dtype)
         qp_tol = jnp.asarray(self.opt.qp_tol, X.dtype)
         max_qp = max(1, int(self.opt.max_qp_iter))
@@ -705,13 +725,21 @@ class TrajOptSolver:
         def qp_body(carry):
             j, X, U, lam, _, _, _, _, _ = carry
             p_j = dataclasses.replace(params, lam_ineq=lam)
-            X, U, cost, step_norm, alpha = self._sqp_iter(
+            X, U, aux, step_norm, alpha = self._sqp_iter(
                 X, U, p_j, merit_rho, alphas=alphas,
-                use_fast_linearize=use_fast_linearize,
+                use_fast_linearize=use_fast_linearize, skip_merit=single,
             )
-            # ONE fused launch yields both dual-update inputs: the equality
-            # rows ride along for the caller (Solution.r_eq)
-            r_eq, g = self._dual_g(X, U, params)
+            if single:
+                # ONE shared FK/RNEA launch for the merit cost AND both
+                # dual-update inputs (aux = pre-step defect l1; the merit's
+                # (1-alpha) defect term vanishes at alpha=1)
+                cost, r_eq, g = self._cost_dual(X, U, params)
+                cost = cost + merit_rho * (1.0 - alpha) * aux
+            else:
+                cost = aux
+                # ONE fused launch yields both dual-update inputs: the
+                # equality rows ride along for the caller (Solution.r_eq)
+                r_eq, g = self._dual_g(X, U, params)
             lam, viol = self._ineq_update_from_g(g, params, lam)
             return (j + 1, X, U, lam, r_eq, cost, viol, step_norm, alpha)
 
@@ -806,6 +834,45 @@ class TrajOptSolver:
 
         self._dual_dyncore = dual_g
         return dual_g
+
+    def _get_cost_dual_dyncore(self):
+        """custom_vmap dispatcher for the full-step RTI epilogue: merit
+        cost AND both AL dual-update inputs from ONE shared FK/RNEA
+        evaluation (linearize.cost_dual_dyncore) — the single-candidate
+        step accepts X_new before any cost is needed, so the merit pass
+        and the dual pass collapse into one kernel launch."""
+        if hasattr(self, "_cost_dual_dyncore"):
+            return self._cost_dual_dyncore
+        from .linearize import cost_dual_dyncore
+
+        spec, w = self.spec, self.weights
+
+        @jax.custom_batching.custom_vmap
+        def cost_dual(X, U, p):
+            r_eq, g = self._dual_g_xla(X, U, p)
+            return self._total_cost_xla(X, U, p), r_eq, g
+
+        @cost_dual.def_vmap
+        def _rule(axis_size, in_batched, X, U, p):
+            def bc(x, b):
+                return x if b else jnp.broadcast_to(
+                    x[None], (axis_size,) + jnp.shape(x))
+
+            X = bc(X, in_batched[0])
+            U = bc(U, in_batched[1])
+            p = jax.tree.map(bc, p, in_batched[2])
+            return (cost_dual_dyncore(spec, w, X, U, p),
+                    (True, True, True))
+
+        self._cost_dual_dyncore = cost_dual
+        return cost_dual
+
+    def _cost_dual(self, X, U, p: OCPParams):
+        """(cost, r_eq, g) at one iterate from a shared evaluation."""
+        if self._linearize_mode == "dynjac" and not self.time_opt:
+            return self._get_cost_dual_dyncore()(X, U, p)
+        r_eq, g = self._dual_g_xla(X, U, p)
+        return self._total_cost_xla(X, U, p), r_eq, g
 
     def _ineq_update_from_g(self, g, params: OCPParams, lam_ineq):
         """Clipped AL dual update + scale-normalized violation, given the

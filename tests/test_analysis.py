@@ -1,4 +1,6 @@
 """Analysis/diagnostics module tests."""
+import os
+
 import numpy as np
 
 from iterative_learning_nmpc_tpu.learning import analysis as an
@@ -89,3 +91,35 @@ def test_new_figure_builders(tmp_path, ):
     fig = an.plot_expert_segments(t, mode, save_path=str(tmp_path / "exp.png"))
     assert os.path.exists(str(tmp_path / "exp.png"))
     assert "75" in fig.axes[0].get_title() or "%" in fig.axes[0].get_title()
+
+
+def test_analyze_dataset_cli(tmp_path):
+    """examples/analyze_dataset.py drives every figure builder over npz
+    (the runnable counterpart of the reference's plot scripts)."""
+    import subprocess
+    import sys
+
+    rng = np.random.default_rng(3)
+    T = 120
+    np.savez(tmp_path / "roll.npz",
+             state=rng.normal(size=(T, 44)),
+             action=rng.normal(size=(T, 12)),
+             vc_goal=np.tile([0.3, 0.0, 0.0], (T, 1)),
+             time=np.arange(T) * 1e-3,
+             feet_pos_w=rng.normal(size=(T, 4, 3)),
+             is_expert=(np.arange(T) % 40 < 10))
+    np.savez(tmp_path / "nom.npz",
+             state=rng.normal(size=(T, 44)),
+             time=np.arange(T) * 1e-3)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "examples", "analyze_dataset.py"),
+         "--dataset", str(tmp_path / "roll.npz"),
+         "--nominal", str(tmp_path / "nom.npz"),
+         "--out", str(tmp_path / "figs")],
+        capture_output=True, text=True, timeout=300)
+    assert out.returncode == 0, out.stderr
+    for name in ("pca.png", "distributions.png", "action_bounds.png",
+                 "tracking.png", "feet.png", "ood_distance.png",
+                 "smoothing.png", "expert_segments.png"):
+        assert os.path.exists(str(tmp_path / "figs" / name)), name

@@ -177,3 +177,45 @@ def test_acyclic_mpc_with_patches(go2):
     assert dist.max() < 0.03 + 3e-3, dist.max()
     # plan keeps a sane base height
     assert np.all(q_plan[:, 2] > 0.18) and np.all(q_plan[:, 2] < 0.42)
+
+
+@pytest.mark.slow
+def test_acyclic_standing_hop(go2):
+    """Standing hop through the acyclic path (the 'jump' role of the
+    reference's contact-sequence API): a 0.16 s ALL-FLIGHT window in the
+    schedule makes the solver plan a ballistic arc — zero contact forces in
+    flight, takeoff velocity, ~0.1 m apex gain — and the closed loop takes
+    off, lands, and recovers. Measured: plan apex 0.385 m from 0.287 m
+    stance, sim z max 0.356 m, landing upright."""
+    from iterative_learning_nmpc_tpu.models import dynamics as dyn
+    from iterative_learning_nmpc_tpu.mpc.acyclic import AcyclicMPC
+    from iterative_learning_nmpc_tpu.sim.mujoco_sim import Simulator
+
+    mpc = AcyclicMPC(go2, gait_name="trot", n_sqp_first=30,
+                     solve_async=False)
+    N = mpc.config_opt.n_nodes
+    T = 80
+    cnt = np.ones((4, T))
+    cnt[:, 10:14] = 0.0                       # 4 flight nodes = 0.16 s
+    mpc.set_contact_sequence(cnt)
+
+    q0 = np.asarray(go2.q_home, np.float64).copy()
+    p0 = np.asarray(dyn.foot_positions(go2, jnp.asarray(q0)))
+    q0[2] += -p0[0, 2] + float(np.asarray(go2.foot_radius))
+    mpc.set_command(np.array([0.0, 0.0, 0.0]), 0.0)
+
+    mpc.optimize(q0, np.zeros(18))
+    X = np.asarray(mpc._X_prev)
+    F = np.asarray(mpc._U_prev)[:, 18:].reshape(N, 4, 3)
+    z0 = X[0, 2]
+    assert np.abs(F[10:14]).max() == 0.0      # ballistic: no flight forces
+    assert X[:, 2].max() > z0 + 0.05          # apex gain in the plan
+    assert X[11, 20] > 0.2                    # upward takeoff velocity
+
+    sim = Simulator(go2)
+    res = sim.run(sim_time=2.5, controller=mpc, stop_on_fall=True)
+    q = np.vstack(mpc.q_full)
+    assert not res.fell, res
+    assert q[:, 2].max() > z0 + 0.04          # it actually left the ground
+    assert 0.25 < q[-1, 2] < 0.33             # landed + recovered stance
+    assert np.abs(q[:, 5]).max() < 0.05       # roll stays small
