@@ -104,7 +104,7 @@ def make_batched_mpc_rollout(
     plane = np.zeros((4, N + 1, 3), np.float32)
     plane[:, :, 2] = ground
     joint_ref = np.asarray(spec.q_home)[6:].astype(np.float32)
-    cp = contact_params or jax_sim.default_contact_params()
+    cp = contact_params or jax_sim.contact_params_for(spec)
     Kp, Kd = opt.Kp, opt.Kd
     nom_h = gait.nom_height + ground
     step_h = gait.step_height + ground

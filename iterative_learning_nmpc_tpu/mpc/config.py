@@ -76,16 +76,18 @@ class MPCOptConfig:
     # --- TPU solver knobs (replace hpipm_mode/use_cython/recompile) ---
     # Levenberg-Marquardt regularization added to the input-Hessian blocks
     lm_reg: float = 1.0e-6
-    # Parallel line-search candidates (evaluated simultaneously via vmap).
-    # Full set for cold/first solves; warm-started RTI solves take the full
-    # Newton step with no line search — exactly acados' SQP_RTI
-    # (`real_time_it`, reference solver.py:68-72) — so the steady-state
-    # merit evaluation is a single cost pass for stats. Set
-    # ls_alphas_steady=(1.0, 0.25) to re-enable a fallback candidate if a
-    # deployment sees post-impact overshoot (closed-loop push-recovery
-    # tests pass with the pure full step).
+    # Parallel line-search candidates (evaluated simultaneously — ONE fused
+    # FK/RNEA launch covers every candidate's merit cost AND the AL dual
+    # updates). Full set for cold/first solves; warm-started RTI solves use
+    # the steady set. acados' SQP_RTI takes the pure full step
+    # (`real_time_it`, reference solver.py:68-72) — ls_alphas_steady=(1.0,)
+    # reproduces that and is ~10% faster — but the 0.25 fallback is
+    # LOAD-BEARING for recovery when the expert takes over from a degraded
+    # state (SafeDAgger takeover: without it the combined-controller e2e
+    # rollout crashes; measured in tests/test_pipeline_e2e.py), so the
+    # robust set is the default.
     ls_alphas: Tuple[float, ...] = (1.0, 0.5, 0.25, 0.1)
-    ls_alphas_steady: Tuple[float, ...] = (1.0,)
+    ls_alphas_steady: Tuple[float, ...] = (1.0, 0.25)
     # Riccati backward sweep:
     #   "auto"        -> "pallas" on TPU, "sequential" elsewhere
     #   "sequential"  -> lax.scan of structured/generic steps (backward-stable)

@@ -36,11 +36,33 @@ def default_contact_params(dtype=jnp.float32) -> ContactParams:
     # Tuned for stability under explicit integration at dt=1e-3: the
     # regularized Coulomb term acts as a tangential damper with coefficient
     # mu*fz/vel_smoothing — keep it below ~2*m_eff/dt or the feet chatter.
+    # These values assume a Go2-class (~15 kg) robot; use
+    # contact_params_for(spec) to mass-scale for lighter robots (Solo12's
+    # ~0.05 kg feet make c/m_eff * dt > 2 here — explicit-damping unstable).
     return ContactParams(
         stiffness=jnp.asarray(2.0e4, dtype),
         damping=jnp.asarray(5.0e2, dtype),
         friction_mu=jnp.asarray(0.8, dtype),
         vel_smoothing=jnp.asarray(0.2, dtype),
+    )
+
+
+_GO2_TOTAL_MASS = 15.02   # the mass the default params were tuned at
+
+
+def contact_params_for(spec: RobotSpec, dtype=jnp.float32) -> ContactParams:
+    """Mass-scaled contact parameters: penetration depth and the explicit
+    stability margins (omega*dt, c*dt/m_eff) are mass-ratio invariant when
+    stiffness and damping scale with the robot's total mass."""
+    import numpy as _np
+
+    scale = float(_np.asarray(spec.mass).sum()) / _GO2_TOTAL_MASS
+    base = default_contact_params(dtype)
+    return ContactParams(
+        stiffness=base.stiffness * scale,
+        damping=base.damping * scale,
+        friction_mu=base.friction_mu,
+        vel_smoothing=base.vel_smoothing,
     )
 
 
@@ -108,7 +130,7 @@ def pd_rollout(
     force_schedule=None,             # optional (T, 3) base force
 ):
     """Roll T steps under joint-PD toward given targets. Returns (Q, V)."""
-    cp = cp or default_contact_params(q0.dtype)
+    cp = cp or contact_params_for(spec, q0.dtype)
 
     def body(state, inp):
         target, f_ext = inp
@@ -142,7 +164,7 @@ def make_batched_policy_rollout(
     PD targets. Returns a jitted fn (q0_batch, v0_batch, v_des_batch, key)
     -> (Q (B,T,18), V (B,T,18), fell (B,)).
     """
-    cp = default_contact_params()
+    cp = contact_params_for(spec)
 
     from ..learning.obs import policy_input
 

@@ -471,19 +471,28 @@ def dual_g_dyncore(spec, w: Weights, Xb, Ub, pb: OCPParams,
 def cost_dual_dyncore(spec, w: Weights, Xb, Ub, pb: OCPParams,
                       interpret: bool = False):
     """Merit cost AND both AL dual-update inputs from ONE fused primal
-    launch: (cost (B,), r_eq (B, N, 18), g_ineq (B, N, NC_INEQ)).
+    launch: (cost (...,), r_eq (..., N, 18), g_ineq (..., N, NC_INEQ)).
 
-    The full-step RTI path (single line-search candidate) evaluates the
-    merit cost and the dual updates at the SAME iterate — the accepted
-    (X, U) — so the FK/RNEA core is shared instead of launching
-    total_cost_dyncore and dual_g_dyncore separately (the dyncore pass is
-    ~80% of each). The terminal node's FK rides along as an extra node
-    with zero inputs, exactly as in total_cost_dyncore."""
+    The RTI line search evaluates every candidate's merit cost, and the AL
+    dual update needs the equality rows + inequality violations of the
+    ACCEPTED candidate — all at iterates sharing one FK/RNEA core. Fusing
+    them removes the separate dual launch per step (the dyncore pass is
+    ~80% of each evaluation). All leading dims (line-search alphas x
+    problem batch) flatten into the kernel's lane dimension, and the
+    terminal node's FK rides along as an extra node with zero inputs,
+    exactly as in total_cost_dyncore."""
     from ..ops.dynjac_kernel import dyncore_pallas
     from ..ocp.problem import (equality_residuals, ineq_values,
                                stage_residual, terminal_residual)
 
-    B, N = Ub.shape[0], Ub.shape[1]
+    lead = Xb.shape[:-2]
+    B = 1
+    for d in lead:
+        B *= d
+    N = Ub.shape[-2]
+    Xb = Xb.reshape((B, N + 1, NX))
+    Ub = Ub.reshape((B, N, Ub.shape[-1]))
+    pb = jax.tree.map(lambda x: x.reshape((B,) + x.shape[len(lead):]), pb)
     cnt_n = jnp.swapaxes(pb.cnt[:, :, :N], 1, 2)                # (B, N, 4)
     f_n = Ub[..., 18:30].reshape(B, N, 4, 3)
     fe = cnt_n[..., None] * f_n
@@ -532,7 +541,8 @@ def cost_dual_dyncore(spec, w: Weights, Xb, Ub, pb: OCPParams,
       pb.step_height, p_feet_T)
     cost = 0.5 * jnp.sum(r * r, axis=(1, 2)) + 0.5 * jnp.sum(
         r_term * r_term, axis=1)
-    return cost, r_eq, g
+    return (cost.reshape(lead), r_eq.reshape(lead + r_eq.shape[1:]),
+            g.reshape(lead + g.shape[1:]))
 
 
 def lingram_structured(spec, w: Weights, Xb, Ub, pb: OCPParams,

@@ -409,7 +409,12 @@ class TrajOptSolver:
 
     # ---------------- one SQP iteration ----------------
     def _sqp_iter(self, X, U, p: OCPParams, merit_rho, alphas=None,
-                  use_fast_linearize=True, skip_merit=False):
+                  use_fast_linearize=True, return_step=False):
+        """One GN/RTI iteration. With return_step (the non-time_opt solve
+        loop), returns the RAW alpha=1 step (dX1, dU1, defects) and leaves
+        candidate selection to solve()'s shared cost+dual epilogue;
+        otherwise runs the legacy merit select and returns the accepted
+        iterate (time_opt path, direct callers)."""
         w = self.weights
         dynjac = self._linearize_mode == "dynjac" and not self.time_opt
         fused = dynjac and self._riccati_mode == "pallas"
@@ -420,8 +425,8 @@ class TrajOptSolver:
             defects = self._defects(X, U, p)
             dx0 = p.x0 - X[0]
             dX1, dU1 = self._get_fused_lr()(X, U, p, defects, dx0)
-            if skip_merit:
-                return self._full_step(X, U, dX1, dU1, defects, alphas)
+            if return_step:
+                return dX1, dU1, defects
             return self._merit_select(X, U, p, dX1, dU1, defects,
                                       merit_rho, alphas)
         if dynjac:
@@ -508,10 +513,10 @@ class TrajOptSolver:
 
         return self._line_search(X, U, p, K, kff, defects, dx0, merit_rho,
                                  alphas, structured, A_dyn, B_dyn,
-                                 skip_merit=skip_merit)
+                                 return_step=return_step)
 
     def _line_search(self, X, U, p, K, kff, defects, dx0, merit_rho, alphas,
-                     structured, A_dyn=None, B_dyn=None, skip_merit=False):
+                     structured, A_dyn=None, B_dyn=None, return_step=False):
         # The affine rollout is homogeneous in alpha (dx0, kff, and the
         # defect drive all carry the step scale), so ONE rollout at alpha=1
         # gives every candidate: dX(alpha) = alpha * dX(1). The per-alpha
@@ -522,22 +527,10 @@ class TrajOptSolver:
                 self.dt_nodes, K, kff, defects, dx0, one)
         else:
             dX1, dU1 = _forward_delta(A_dyn, B_dyn, K, kff, defects, dx0, one)
-        if skip_merit:
-            return self._full_step(X, U, dX1, dU1, defects, alphas)
+        if return_step:
+            return dX1, dU1, defects
         return self._merit_select(X, U, p, dX1, dU1, defects, merit_rho,
                                   alphas)
-
-    def _full_step(self, X, U, dX1, dU1, defects, alphas):
-        """Single-candidate step with NO merit evaluation (acados SQP_RTI
-        semantics — `real_time_it` takes the full Newton step). The cost
-        slot carries the PRE-step defect l1-norm instead; solve() folds the
-        true cost in from the shared cost+dual evaluation at the accepted
-        iterate (_cost_dual), which saves one full FK/RNEA pass per step."""
-        a = jnp.asarray(alphas)[0].astype(X.dtype)
-        X_new = X + a * dX1
-        U_new = U + a * dU1
-        step_norm = a * jnp.max(jnp.abs(dU1))
-        return X_new, U_new, jnp.sum(jnp.abs(defects)), step_norm, a
 
     def _merit_select(self, X, U, p, dX1, dU1, defects, merit_rho, alphas):
         def candidate(alpha):
@@ -707,9 +700,10 @@ class TrajOptSolver:
         alphas = (
             self.opt.ls_alphas_steady if n_iter <= 1 else self.opt.ls_alphas
         )
-        # single candidate => full-step RTI: skip the merit evaluation and
-        # fold the cost into the shared cost+dual epilogue (_cost_dual)
-        single = len(tuple(alphas)) == 1 and not self.time_opt
+        # shared epilogue (non-time_opt): ONE FK/RNEA launch evaluates the
+        # merit cost of every line-search candidate AND the AL dual-update
+        # inputs, replacing the per-candidate cost pass + separate dual pass
+        shared = not self.time_opt
         nlp_tol = jnp.asarray(self.opt.nlp_tol, X.dtype)
         qp_tol = jnp.asarray(self.opt.qp_tol, X.dtype)
         max_qp = max(1, int(self.opt.max_qp_iter))
@@ -725,18 +719,30 @@ class TrajOptSolver:
         def qp_body(carry):
             j, X, U, lam, _, _, _, _, _ = carry
             p_j = dataclasses.replace(params, lam_ineq=lam)
-            X, U, aux, step_norm, alpha = self._sqp_iter(
-                X, U, p_j, merit_rho, alphas=alphas,
-                use_fast_linearize=use_fast_linearize, skip_merit=single,
-            )
-            if single:
-                # ONE shared FK/RNEA launch for the merit cost AND both
-                # dual-update inputs (aux = pre-step defect l1; the merit's
-                # (1-alpha) defect term vanishes at alpha=1)
-                cost, r_eq, g = self._cost_dual(X, U, params)
-                cost = cost + merit_rho * (1.0 - alpha) * aux
+            if shared:
+                dX1, dU1, defects_pre = self._sqp_iter(
+                    X, U, p_j, merit_rho, alphas=alphas,
+                    use_fast_linearize=use_fast_linearize, return_step=True,
+                )
+                a = jnp.asarray(alphas, X.dtype)
+                Xc = X[None] + a[:, None, None] * dX1[None]
+                Uc = U[None] + a[:, None, None] * dU1[None]
+                cost_c, r_eq_c, g_c = jax.vmap(
+                    lambda Xa, Ua: self._cost_dual(Xa, Ua, params))(Xc, Uc)
+                # linear dynamics => defects shrink exactly by (1 - alpha)
+                merits = (cost_c + merit_rho * (1.0 - a)
+                          * jnp.sum(jnp.abs(defects_pre)))
+                best = jnp.argmin(merits)
+                X, U = Xc[best], Uc[best]
+                cost = merits[best]
+                r_eq, g = r_eq_c[best], g_c[best]
+                alpha = a[best]
+                step_norm = alpha * jnp.max(jnp.abs(dU1))
             else:
-                cost = aux
+                X, U, cost, step_norm, alpha = self._sqp_iter(
+                    X, U, p_j, merit_rho, alphas=alphas,
+                    use_fast_linearize=use_fast_linearize,
+                )
                 # ONE fused launch yields both dual-update inputs: the
                 # equality rows ride along for the caller (Solution.r_eq)
                 r_eq, g = self._dual_g(X, U, params)
@@ -836,36 +842,55 @@ class TrajOptSolver:
         return dual_g
 
     def _get_cost_dual_dyncore(self):
-        """custom_vmap dispatcher for the full-step RTI epilogue: merit
+        """Two-level custom_vmap dispatcher for the RTI epilogue: merit
         cost AND both AL dual-update inputs from ONE shared FK/RNEA
-        evaluation (linearize.cost_dual_dyncore) — the single-candidate
-        step accepts X_new before any cost is needed, so the merit pass
-        and the dual pass collapse into one kernel launch."""
+        evaluation (linearize.cost_dual_dyncore). The line search vmaps
+        over candidates and the user vmaps solve() over the problem batch;
+        both levels collapse into one kernel launch with every
+        (alpha, problem, node) evaluation packed on lanes."""
         if hasattr(self, "_cost_dual_dyncore"):
             return self._cost_dual_dyncore
         from .linearize import cost_dual_dyncore
 
         spec, w = self.spec, self.weights
 
-        @jax.custom_batching.custom_vmap
-        def cost_dual(X, U, p):
+        def bc(axis_size):
+            def f(x, b):
+                return x if b else jnp.broadcast_to(
+                    x[None], (axis_size,) + jnp.shape(x))
+            return f
+
+        def xla_one(X, U, p):
             r_eq, g = self._dual_g_xla(X, U, p)
             return self._total_cost_xla(X, U, p), r_eq, g
 
-        @cost_dual.def_vmap
-        def _rule(axis_size, in_batched, X, U, p):
-            def bc(x, b):
-                return x if b else jnp.broadcast_to(
-                    x[None], (axis_size,) + jnp.shape(x))
+        @jax.custom_batching.custom_vmap
+        def cd2(X, U, p):
+            # one leading dim = the candidates of a SINGLE solve: too few
+            # evaluations to fill the kernel lanes (latency path)
+            return jax.vmap(xla_one)(X, U, p)
 
-            X = bc(X, in_batched[0])
-            U = bc(U, in_batched[1])
-            p = jax.tree.map(bc, p, in_batched[2])
+        @cd2.def_vmap
+        def _rule2(axis_size, in_batched, X, U, p):
+            f = bc(axis_size)
+            X, U = f(X, in_batched[0]), f(U, in_batched[1])
+            p = jax.tree.map(f, p, in_batched[2])
             return (cost_dual_dyncore(spec, w, X, U, p),
                     (True, True, True))
 
-        self._cost_dual_dyncore = cost_dual
-        return cost_dual
+        @jax.custom_batching.custom_vmap
+        def cd1(X, U, p):            # unbatched single evaluation: XLA
+            return xla_one(X, U, p)
+
+        @cd1.def_vmap
+        def _rule1(axis_size, in_batched, X, U, p):
+            f = bc(axis_size)
+            X, U = f(X, in_batched[0]), f(U, in_batched[1])
+            p = jax.tree.map(f, p, in_batched[2])
+            return cd2(X, U, p), (True, True, True)
+
+        self._cost_dual_dyncore = cd1
+        return cd1
 
     def _cost_dual(self, X, U, p: OCPParams):
         """(cost, r_eq, g) at one iterate from a shared evaluation."""
