@@ -14,7 +14,17 @@ from .spec import RobotSpec, build_quadruped_spec
 _Q_HOME = [0.0, 0.9, -1.8]
 
 
-def go2_spec(dtype=None) -> RobotSpec:
+def go2_spec(dtype=None, urdf_path=None) -> RobotSpec:
+    """Go2 model. With `urdf_path`, ingest the robot description file
+    (robots/urdf.py parser — the reference's `get_robot_description("go2")`
+    role); otherwise use the hand-transcribed parameter table below, which
+    is also exported as assets/go2.urdf (round-trip golden-tested in
+    tests/test_urdf.py)."""
+    if urdf_path is not None:
+        from .urdf import parse_urdf
+
+        return parse_urdf(urdf_path, name="go2", q_home_joints=_Q_HOME,
+                          base_height_home=0.315)
     kwargs = {}
     if dtype is not None:
         kwargs["dtype"] = dtype

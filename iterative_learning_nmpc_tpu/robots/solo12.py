@@ -10,7 +10,14 @@ from .spec import RobotSpec, build_quadruped_spec
 _Q_HOME = [0.0, 0.8, -1.6]
 
 
-def solo12_spec(dtype=None) -> RobotSpec:
+def solo12_spec(dtype=None, urdf_path=None) -> RobotSpec:
+    """Solo12 model; with `urdf_path`, ingest a robot description file via
+    robots/urdf.py instead of the parameter table (see robots/go2.py)."""
+    if urdf_path is not None:
+        from .urdf import parse_urdf
+
+        return parse_urdf(urdf_path, name="solo12", q_home_joints=_Q_HOME,
+                          base_height_home=0.25)
     kwargs = {}
     if dtype is not None:
         kwargs["dtype"] = dtype
