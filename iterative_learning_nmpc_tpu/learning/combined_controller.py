@@ -42,6 +42,11 @@ class CombinedController:
         self.mpc_controller = mpc_controller
         self.policy_controller = policy_controller
         self.v_des = np.asarray(v_des, dtype=np.float64)
+        # propagate the goal to BOTH sub-controllers (the reference wires
+        # v_des at construction, `Rollout_combined_controller.py:283-287`);
+        # without this the latched expert tracks a zero command and stands
+        mpc_controller.set_command(self.v_des)
+        policy_controller.set_command(self.v_des)
         self.delay_steps = delay_steps
         self.mpc_min_steps = mpc_min_steps
         self.monitor = monitor

@@ -232,36 +232,24 @@ def _go2_trot_cost() -> MPCCostConfig:
 
 
 def _go2_slow_trot_cost() -> MPCCostConfig:
-    """Slow trot (1.0 s period, 0.63 stance), weights from the reference
-    table (`config/quadruped/mpc_cost.py`). KNOWN LIMITATION: validated for
-    trajectory optimization (tests/test_gait_and_variants.py::
-    test_gait_solves_converge) but NOT closed-loop stable under the MuJoCo
-    plant at 0.15 m/s (lateral tip-over ~1.5 s; adding xy/vel tracking
-    weights trades it for a swing-leg collision ~0.9 s). Use "trot" or
-    "crawl" for slow closed-loop locomotion; tuning debt tracked here."""
-    W = np.array([
-        0e0, 0e0, 5e3,
-        0e0, 3e3, 3e3,
-        0e0, 0e0, 1e1,
-        1e0, 1e2, 2e2,
-    ])
-    return MPCCostConfig(
-        robot_name="go2",
-        gait_name="slow_trot",
-        W_base=W * 7.0,
-        W_e_base=W * 10.0,
-        W_joint=np.array(_HIP_SHOULDER_ELBOW * 4 + [0.0] * 12) * 0.1,
-        W_e_joint=np.zeros(24),
-        W_acc=np.array([7.0, 3.0, 1.0] * 4) * 1.0e-2,
-        W_swing=np.array([5e5] * 4),
-        W_cnt_f_reg=np.array([[1.2, 1.2, 0.9]] * 4),
-        W_foot_pos_constr_stab=np.array([5e1] * 4),
-        W_foot_displacement=np.array([1e6]),
-        cnt_radius=0.005,
-        time_opt=1.0e4,
-        reg_eps=1.0e-6,
-        reg_eps_e=1.0e-5,
-    )
+    """Slow trot (1.0 s period, 0.63 stance; GAITS['slow_trot'] timing from
+    the reference, `config/quadruped/mpc_gait.py`).
+
+    DEVIATION from the reference's Go2SlowTrotCost table
+    (`config/quadruped/mpc_cost.py:90-128`): that table zeroes every xy
+    position AND vx/vy velocity weight — in its hard-constrained acados
+    formulation the Raibert footsteps alone drag the base, but under this
+    framework's soft-contact costs it yields zero velocity tracking
+    (measured -0.02 m/s at a 0.15 m/s command, scripts/exp_slow_trot.py v0).
+    The trot weight table transfers to the slow timing and tracks: measured
+    8 s closed-loop at 0.15 m/s -> v_ss = 0.151 m/s, no fall, z = 0.29
+    (exp_slow_trot v3 grid winner; raising vx weights only undershoots:
+    v8 0.144, v9 0.134). Requires the 2-decimal v_des rounding in
+    mpc/controller.py — the reference's 1-decimal rounding quantizes a
+    0.15 m/s goal to 0.2 and was the dominant tracking error."""
+    cfg = _go2_trot_cost()
+    cfg.gait_name = "slow_trot"
+    return cfg
 
 
 def _go2_pace_cost() -> MPCCostConfig:

@@ -248,7 +248,12 @@ class LocomotionMPC:
         R_WB = tnp.ypr_to_matrix(
             np.array([self.base_ref_vel_tracking[3], 0.0, 0.0])
         )
-        v_des_glob = np.round(R_WB @ self.v_des, 1)
+        # DEVIATION from mpc.py:206/228 (np.round(..., 1)): the reference's
+        # 1-decimal rounding quantizes commands to 0.1 m/s — a 0.15 m/s
+        # goal (the slow-gait operating point) becomes 0.2 and is
+        # untrackable by construction. 2 decimals keeps the reference's
+        # anti-jitter intent at 10x finer command resolution.
+        v_des_glob = np.round(R_WB @ self.v_des, 2)
         self.base_ref_vel_tracking[:2] += v_des_glob[:2] * self.sim_dt
         self.base_ref_vel_tracking[3] += self.w_des[2] * self.sim_dt
 
@@ -261,7 +266,12 @@ class LocomotionMPC:
         base_ref[3] = round(q[3], 1)
 
         R_WB = tnp.ypr_to_matrix(np.array([self.base_ref_vel_tracking[3], 0.0, 0.0]))
-        v_des_glob = np.round(R_WB @ self.v_des, 1)
+        # DEVIATION from mpc.py:206/228 (np.round(..., 1)): the reference's
+        # 1-decimal rounding quantizes commands to 0.1 m/s — a 0.15 m/s
+        # goal (the slow-gait operating point) becomes 0.2 and is
+        # untrackable by construction. 2 decimals keeps the reference's
+        # anti-jitter intent at 10x finer command resolution.
+        v_des_glob = np.round(R_WB @ self.v_des, 2)
         base_ref[6:9] = v_des_glob
         # chart angular slots are [yaw, pitch, roll] rates; w_des is [wx, wy, wz]
         base_ref[9:12] = self.w_des[::-1]

@@ -48,9 +48,8 @@ def main():
     Qm = np.stack(rec.q)
     Vm = np.stack(rec.v)
     TAU = np.stack(rec.ctrl)
-    # NOTE: record() runs BEFORE ctrl is written in mujoco_sim.run — but the
-    # recorder is called AFTER compute_torques + data.ctrl assignment. Check
-    # the ordering: ctrl row k is the torque applied during step k.
+    # recorder runs after compute_torques + data.ctrl assignment and before
+    # mj_step: row k is the state at step k and the torque applied during it
 
     # chart initial state
     q0c, v0c = tnp.convert_from_mujoco(Qm[0], Vm[0])

@@ -45,6 +45,19 @@ def test_go2_crawl_velocity_tracking(go2):
 
 
 @pytest.mark.slow
+def test_go2_slow_trot_velocity_tracking(go2):
+    """Closed-loop slow_trot at the reference's slow operating point
+    (VERDICT r2 item 3 — formerly a KNOWN LIMITATION). Table rationale and
+    measured numbers: mpc/config._go2_slow_trot_cost."""
+    res, q, v = _walk(go2, "slow_trot", 0.15, sim_time=5.0)
+    assert not res.fell, res
+    half = len(v) // 2
+    assert abs(v[half:, 0].mean() - 0.15) < 0.05
+    assert 0.24 < q[half:, 2].mean() < 0.34
+    assert np.abs(q[:, 5]).max() < 0.15
+
+
+@pytest.mark.slow
 def test_go2_bound_velocity_tracking(go2):
     """Bound (front/rear pairs): the fore-aft rocking gait. Thresholds from
     the measured closed-loop run recorded in mpc/config._go2_bound_cost."""
