@@ -139,7 +139,8 @@ class OnDeviceSafeDagger:
 
     def __init__(self, spec: RobotSpec, cfg: SafeDaggerConfig,
                  initial_policy: str, initial_dataset: Optional[str] = None,
-                 batch: int = 32, joint_noise: float = 0.03):
+                 batch: int = 32, joint_noise: float = 0.03,
+                 randomize: bool = False):
         import jax
         import jax.numpy as jnp
 
@@ -151,6 +152,7 @@ class OnDeviceSafeDagger:
         self.cfg = cfg
         self.batch = batch
         self.joint_noise = joint_noise
+        self.randomize = randomize
         self.policy_path = initial_policy
         self.dataset_path = initial_dataset
         self.expert_ratio_history: List[float] = []
@@ -202,7 +204,19 @@ class OnDeviceSafeDagger:
             0, self.joint_noise, (B, 12)).astype(np.float32)
         vdes = np.tile(np.asarray(v_des, np.float32)[None], (B, 1))
 
-        out = self.rollout(jnp.asarray(x0b), jnp.asarray(vdes),
+        ps = tr = None
+        if self.randomize:
+            # per-iteration domain randomization (payload + terrain/contact)
+            # — robustness data for sim-to-oracle transfer; the CONTROLLER
+            # model stays nominal (model-plant mismatch by design)
+            from .randomize import randomize_payload, randomize_terrain
+
+            it = len(self.expert_ratio_history)
+            ps = randomize_payload(
+                self.spec, jax.random.PRNGKey(cfg.seed + 7919 * it), B)
+            tr = randomize_terrain(
+                jax.random.PRNGKey(cfg.seed + 104729 * it), B)
+        out = self.rollout(jnp.asarray(x0b), jnp.asarray(vdes), ps, tr,
                            policy_update=self._load_update(policy_path))
         jax.block_until_ready(out.q)
 

@@ -27,6 +27,12 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--policy", default=None,
                     help="skip DAgger, evaluate this policy path")
+    ap.add_argument("--randomize", action="store_true",
+                    help="payload+terrain domain randomization per collect")
+    ap.add_argument("--init_policy", default=None,
+                    help="override initial policy path (default: bc_dir BC)")
+    ap.add_argument("--init_dataset", default=None,
+                    help="override initial dataset (default: bc_dir data)")
     args = ap.parse_args()
 
     import jax
@@ -61,10 +67,11 @@ def main():
         )
         pipe = OnDeviceSafeDagger(
             spec, cfg,
-            initial_policy=os.path.join(args.bc_dir, "policies",
-                                        "policy_bc_final.pkl"),
-            initial_dataset=os.path.join(args.bc_dir, "data.hdf5"),
-            batch=args.batch)
+            initial_policy=args.init_policy or os.path.join(
+                args.bc_dir, "policies", "policy_bc_final.pkl"),
+            initial_dataset=args.init_dataset or os.path.join(
+                args.bc_dir, "data.hdf5"),
+            batch=args.batch, randomize=args.randomize)
         t0 = time.time()
         final = pipe.run()
         print(f"dagger: {len(pipe.expert_ratio_history)} iterations in "
