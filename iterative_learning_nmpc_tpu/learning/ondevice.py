@@ -200,7 +200,7 @@ def make_batched_mpc_rollout(
             lam_ineq=jnp.zeros((N, 36), x.dtype),
         )
 
-    def one_env(x0, v_des, plant_spec, terrain, pstate):
+    def one_env(x0, v_des, plant_spec, terrain, pstate, force_win):
         """plant_spec / terrain carry per-env domain randomization (payload,
         ground height, contact params); the CONTROLLER model stays nominal —
         model-plant mismatch is the realistic robustness setting. `pstate`
@@ -271,8 +271,16 @@ def make_batched_mpc_rollout(
                     mode_new = mode_mpc            # always-expert rollout
                     tau = tau_mpc
                 action = (tau + kd_action * st.v[6:]) / Kp + st.q[6:]
+                # scheduled base-wrench fault injection (the reference's
+                # force-perturbation datagen, 50-70 N / 0.2-0.4 s windows —
+                # data_collection_force_perturbation.py:213-248 — here fully
+                # on-device): force_win = [start_step, end_step, fx, fy, fz]
+                in_win = ((stepc >= force_win[0].astype(jnp.int32))
+                          & (stepc < force_win[1].astype(jnp.int32)))
+                f_ext = jnp.where(in_win, 1.0, 0.0) * force_win[2:5]
                 new = jax_sim.step(
                     plant_spec, st, tau, terrain.contact, sim_dt,
+                    f_ext=f_ext,
                     ground_height=terrain.ground_height,
                 )
                 rec = (st.q, st.v, state44, action, tau,
@@ -326,10 +334,12 @@ def make_batched_mpc_rollout(
     vmapped = jax.vmap(
         one_env,
         in_axes=(0, 0, payload_spec_axes(spec),
-                 TerrainParams(0, jax_sim.ContactParams(0, 0, 0, 0)), None),
+                 TerrainParams(0, jax_sim.ContactParams(0, 0, 0, 0)), None,
+                 0),
     )
 
-    def fn(x0, v_des, plant_spec=None, terrain=None, policy_update=None):
+    def fn(x0, v_des, plant_spec=None, terrain=None, policy_update=None,
+           force_windows=None):
         """x0 (B, 36), v_des (B, 3); optional per-env plant randomization:
         plant_spec from randomize.randomize_payload, terrain from
         randomize.randomize_terrain (defaults = nominal plant).
@@ -337,7 +347,9 @@ def make_batched_mpc_rollout(
         overrides the policy weights + norm stats per call (same pytree
         structure, norm presence must match the build-time policy) without
         recompiling — the DAgger outer loop's retrained policies go
-        through here."""
+        through here. `force_windows` (B, 5) = per-env scheduled base
+        wrench [start_step, end_step, fx, fy, fz] (fault injection; default
+        none)."""
         B = x0.shape[0]
         if plant_spec is None:
             import dataclasses as _dc
@@ -364,6 +376,9 @@ def make_batched_mpc_rollout(
         else:
             pv, nrm = policy_update
             pstate = (pv, _norm_arrays(nrm) if nrm is not None else ())
-        return vmapped(x0, v_des, plant_spec, terrain, pstate)
+        if force_windows is None:
+            force_windows = jnp.zeros((B, 5), x0.dtype)  # empty window
+        return vmapped(x0, v_des, plant_spec, terrain, pstate,
+                       force_windows)
 
     return jax.jit(fn)

@@ -84,3 +84,30 @@ def randomize_terrain(
             vel_smoothing=jnp.broadcast_to(base.vel_smoothing, (n,)),
         ),
     )
+
+
+def sample_force_windows(
+    key: jax.Array,
+    n: int,
+    total_steps: int,
+    magnitude_range: Tuple[float, float] = (50.0, 70.0),
+    duration_range_s: Tuple[float, float] = (0.2, 0.4),
+    sim_dt: float = 1.0e-3,
+) -> jax.Array:
+    """(n, 5) scheduled base-wrench windows [start_step, end_step, fx, fy, fz]
+    for `make_batched_mpc_rollout(force_windows=...)` — the reference's
+    random push sampler (`data_collection_force_perturbation.py:213-248`:
+    50-70 N magnitude, 0.2-0.4 s duration, uniform direction) as a batched
+    on-device fault-injection schedule."""
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    mag = jax.random.uniform(k1, (n,), minval=magnitude_range[0],
+                             maxval=magnitude_range[1])
+    # uniform direction on S^2 (matches the reference's normalized gaussian)
+    d = jax.random.normal(k2, (n, 3))
+    d = d / jnp.linalg.norm(d, axis=1, keepdims=True)
+    dur = jax.random.uniform(k3, (n,), minval=duration_range_s[0],
+                             maxval=duration_range_s[1]) / sim_dt
+    start = jax.random.uniform(k4, (n,)) * jnp.maximum(
+        total_steps - dur, 1.0)
+    return jnp.concatenate(
+        [start[:, None], (start + dur)[:, None], mag[:, None] * d], axis=1)

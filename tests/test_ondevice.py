@@ -120,3 +120,35 @@ def test_ondevice_plain_rollout_is_all_expert(go2):
     rollout = make_batched_mpc_rollout(go2, n_intervals=2)
     out = rollout(x0b, vdes)
     assert np.all(np.asarray(out.is_expert) == 1.0)
+
+
+@pytest.mark.slow
+def test_force_window_fault_injection(go2):
+    """On-device scheduled base wrench (the reference's 50-70 N push
+    sampler, fully batched): a violent lateral push must knock the
+    standing-command env over while the unpushed twin stays up."""
+    from iterative_learning_nmpc_tpu.learning.randomize import (
+        sample_force_windows,
+    )
+
+    x0 = _x0(go2)
+    B = 2
+    x0b = np.tile(x0[None], (B, 1))
+    vdes = np.zeros((B, 3), np.float32)
+    rollout = make_batched_mpc_rollout(go2, n_intervals=15)
+    T = 15 * 40
+    # env 0: no push; env 1: absurd 400 N lateral shove for 0.3 s
+    fw = np.zeros((B, 5), np.float32)
+    fw[1] = [100, 400, 0.0, 400.0, 0.0]
+    out = rollout(jnp.asarray(x0b), jnp.asarray(vdes),
+                  force_windows=jnp.asarray(fw))
+    valid = np.asarray(out.valid)
+    assert valid[0].min() > 0.5, "unpushed env fell"
+    assert valid[1].min() < 0.5, "400 N push did not destabilize"
+
+    # the sampler produces windows inside the rollout and at reference
+    # magnitudes
+    wins = np.asarray(sample_force_windows(jax.random.PRNGKey(0), 64, T))
+    assert (wins[:, 0] >= 0).all() and (wins[:, 1] <= T + 1).all()
+    mags = np.linalg.norm(wins[:, 2:], axis=1)
+    assert (mags >= 49.9).all() and (mags <= 70.1).all()
