@@ -17,16 +17,22 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def get_spec(robot: str):
+def get_spec(robot: str, urdf: str = None):
+    """Catalog lookup; `urdf` switches to description-file ingestion
+    (robots/urdf.py — the reference's get_robot_description role)."""
     if robot.lower() == "go2":
         from iterative_learning_nmpc_tpu.robots.go2 import go2_spec
 
-        return go2_spec()
+        return go2_spec(urdf_path=urdf)
     if robot.lower() == "solo12":
         from iterative_learning_nmpc_tpu.robots.solo12 import solo12_spec
 
-        return solo12_spec()
-    raise SystemExit(f"unknown robot {robot}")
+        return solo12_spec(urdf_path=urdf)
+    if urdf:
+        from iterative_learning_nmpc_tpu.robots.urdf import parse_urdf
+
+        return parse_urdf(urdf, name=robot)
+    raise SystemExit(f"unknown robot {robot} (pass --urdf for new robots)")
 
 
 def main():
@@ -34,6 +40,9 @@ def main():
     ap.add_argument("--mode", default="close_loop",
                     choices=["traj_opt", "open_loop", "close_loop"])
     ap.add_argument("--robot", default="go2")
+    ap.add_argument("--urdf", default=None,
+                    help="ingest this URDF description instead of the "
+                         "built-in parameter table (robots/urdf.py)")
     ap.add_argument("--gait", default="trot")
     ap.add_argument("--vx", type=float, default=0.3)
     ap.add_argument("--vy", type=float, default=0.0)
@@ -52,7 +61,7 @@ def main():
     from iterative_learning_nmpc_tpu.mpc.controller import LocomotionMPC
     from iterative_learning_nmpc_tpu.models import transforms_np as tnp
 
-    spec = get_spec(args.robot)
+    spec = get_spec(args.robot, args.urdf)
     mpc = LocomotionMPC(
         spec,
         gait_name=args.gait,
