@@ -196,3 +196,28 @@ def test_parsed_toy_spec_is_dynamics_ready():
     assert tau.shape == (18,) and np.isfinite(tau).all()
     p = np.asarray(dyn.foot_positions(spec, q))
     assert p.shape == (4, 3) and np.isfinite(p).all()
+
+
+def test_mujoco_urdf_import_agrees_on_link_inertials():
+    """Independent oracle on the XML reading: MuJoCo's own URDF importer
+    must agree with parse_urdf on the leg-link inertials. (MuJoCo merges
+    the root link into world and auto-densifies the inertial-less foot
+    sphere, so trunk/calf are excluded — covered by the round-trip and
+    lumping tests instead.)"""
+    import mujoco
+
+    spec = go2_spec()
+    m = mujoco.MjModel.from_xml_string(spec_to_urdf(spec))
+    for i_leg, leg in enumerate(("fl", "fr", "rl", "rr")):
+        for k, part in enumerate(("hip", "thigh")):
+            b = mujoco.mj_name2id(m, mujoco.mjtObj.mjOBJ_BODY,
+                                  f"{leg}_{part}")
+            assert b >= 0
+            body_idx = 6 + 3 * i_leg + k
+            assert abs(m.body_mass[b] - float(spec.mass[body_idx])) < 1e-5
+            # MuJoCo stores principal inertia; ours is diagonal already
+            ours = np.sort(np.diag(np.asarray(spec.inertia[body_idx])))
+            theirs = np.sort(np.asarray(m.body_inertia[b]))
+            assert np.abs(ours - theirs).max() < 1e-7
+            assert np.abs(m.body_ipos[b]
+                          - np.asarray(spec.com[body_idx])).max() < 1e-6
