@@ -204,20 +204,31 @@ class OnDeviceSafeDagger:
             0, self.joint_noise, (B, 12)).astype(np.float32)
         vdes = np.tile(np.asarray(v_des, np.float32)[None], (B, 1))
 
-        ps = tr = None
+        ps = tr = fw = None
         if self.randomize:
-            # per-iteration domain randomization (payload + terrain/contact)
-            # — robustness data for sim-to-oracle transfer; the CONTROLLER
+            # per-iteration domain randomization (payload + terrain/contact
+            # + scheduled reference-magnitude pushes on half the envs) —
+            # robustness data for sim-to-oracle transfer; the CONTROLLER
             # model stays nominal (model-plant mismatch by design)
-            from .randomize import randomize_payload, randomize_terrain
+            from .randomize import (
+                randomize_payload,
+                randomize_terrain,
+                sample_force_windows,
+            )
 
             it = len(self.expert_ratio_history)
             ps = randomize_payload(
                 self.spec, jax.random.PRNGKey(cfg.seed + 7919 * it), B)
             tr = randomize_terrain(
                 jax.random.PRNGKey(cfg.seed + 104729 * it), B)
+            fw = np.array(sample_force_windows(
+                jax.random.PRNGKey(cfg.seed + 1299709 * it), B,
+                self.n_intervals * 40))
+            fw[: B // 2] = 0.0  # half the envs stay push-free
+            fw = jnp.asarray(fw, jnp.float32)
         out = self.rollout(jnp.asarray(x0b), jnp.asarray(vdes), ps, tr,
-                           policy_update=self._load_update(policy_path))
+                           policy_update=self._load_update(policy_path),
+                           force_windows=fw)
         jax.block_until_ready(out.q)
 
         T = out.state44.shape[1]
