@@ -35,6 +35,9 @@ def main():
     ap.add_argument("--out", default="./dagger_tpu")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--randomize", action="store_true",
+                    help="per-iteration payload/terrain randomization + "
+                         "scheduled 50-70 N pushes on half the envs")
     args = ap.parse_args()
 
     if args.cpu:
@@ -64,7 +67,7 @@ def main():
     )
     pipe = OnDeviceSafeDagger(get_spec(args.robot), cfg, args.policy,
                               initial_dataset=args.dataset,
-                              batch=args.batch)
+                              batch=args.batch, randomize=args.randomize)
     t0 = time.time()
     final = pipe.run()
     print(f"done in {time.time() - t0:.1f}s wall")
