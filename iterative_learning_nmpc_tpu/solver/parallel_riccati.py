@@ -39,6 +39,16 @@ batched nonsymmetric 36x36 LU solve, and XLA-TPU LU throughput erases the
 log-depth advantage. Kept as a correctness-validated option
 (MPCOptConfig.riccati_mode="associative") for hardware/problem regimes where
 batched-solve throughput improves or horizons grow into the hundreds.
+scripts/bench_long_horizon.py reproduces the comparison (all three modes,
+incl. the N-parameterized Pallas sweep) at N=25/N=100.
+
+N=100 NUMERICS (tests/test_parallel_riccati.py::
+test_long_horizon_n100_modes_agree): in f64 the composition matches the
+sequential sweep to <1e-6 relative through 2 full SQP iterations on the
+production OCP; in fp32 the 4 s-horizon conditioning amplifies composition
+round-off to ~1e-1 after 2 iterations (line-search bifurcation included) —
+use f64 (or the sequential sweep) when long-horizon fp32 trajectories must
+match the RTI production path.
 """
 from __future__ import annotations
 
