@@ -154,6 +154,15 @@ def make_batched_mpc_rollout(
         pol_net, pol_vars, pol_norm = policy
         has_norm = pol_norm is not None
 
+        # NOTE on ops/policy_kernel.py (fused Pallas inference+PD): NOT
+        # used here, deliberately. Inside this rollout the policy runs
+        # per-env under jax.vmap — the env axis IS the matmul batch, and
+        # XLA batches the (B,47)x(47,512) chain onto the MXU exactly like
+        # the hand-written kernel (vmapping the pallas_call instead would
+        # shatter the batch into B single-row grid programs). The fused
+        # kernel's win is the BATCH-MAJOR serving path with VMEM-resident
+        # folded weights (solver/warmstart.py); measured comparison:
+        # scripts/bench_policy_kernel.py.
         def policy_tau(pstate, state44, q, v, v_des):
             pvars, nrm = pstate
             s = state44
