@@ -183,6 +183,35 @@ def parity_sweep(rel):
     return out
 
 
+def _probe_device(timeout_s: float = 300.0):
+    """Fail fast (with a diagnostic JSON line) when the device is
+    unreachable — a wedged axon tunnel otherwise blocks the first op
+    forever and the driver sees an eternal hang instead of a result."""
+    import threading
+
+    ok = [False]
+
+    def probe():
+        import jax
+        import jax.numpy as jnp
+
+        jax.block_until_ready(jax.jit(lambda a: a + 1.0)(jnp.ones((2, 2))))
+        ok[0] = True
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if not ok[0]:
+        print(json.dumps({
+            "metric": "nmpc_solves_per_s", "value": 0.0, "unit": "solves/s",
+            "vs_baseline": 0.0,
+            "error": f"device probe did not complete in {timeout_s:.0f}s "
+                     "(TPU tunnel unreachable)",
+        }))
+        sys.stdout.flush()
+        os._exit(3)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -195,6 +224,7 @@ def main():
         "jax_compilation_cache_dir",
         os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    _probe_device(float(os.environ.get("BENCH_PROBE_TIMEOUT_S", "300")))
 
     # B=512 is the measured throughput sweet spot on v5e (111k solves/s vs
     # 106k at 256 and 111k at 1024 — scripts/profile_rti.py methodology);
