@@ -1,15 +1,17 @@
 """Regression pin on the shipped DAgger policy artifact.
 
-assets/policy_go2_trot_ondevice_dagger.pkl is the final policy of a full
-OnDeviceSafeDagger run (scripts/exp_dagger_transfer.py: 128k-row BC seed,
-2 goals x 3 iterations, 32 envs/iteration, all data from the jax_sim
-plant). Measured at training time (2026-08): walks 5.0 s at 0.3 m/s in
-jax_sim without falling (x=1.60 m); in MuJoCo survives 5 s under the
-combined controller at commanded progress (x=1.58, expert ratio 0.80).
-This test pins the jax_sim walking capability so learning-stack or
-jax_sim regressions that would silently degrade trained-policy quality
-fail loudly. Reference protocol: `DAgger/test/test_policy_rollout.py:41-55`
-(checkpoint survival logging).
+assets/policy_go2_trot_ondevice_dagger.pkl is the final policy of THREE
+chained OnDeviceSafeDagger runs (scripts/exp_dagger_transfer.py: 128k-row
+BC seed, then 3 x [2 goals x 3 iterations, 32-48 envs/iteration], the
+last two with payload/terrain domain randomization and scheduled 50-70 N
+pushes — ALL data from the jax_sim plant, zero MuJoCo rows). Measured at
+training time (2026-08): walks 5.0 s at 0.3 m/s in jax_sim (x=1.56 m);
+in MuJoCo walks 5.0 s at 0.15 m/s PURE (no expert fallback, x=0.70,
+safety monitor never engages) and survives 5 s under the combined
+controller at 0.3 m/s with commanded progress (x=1.60). These tests pin
+both capabilities so learning-stack or sim regressions that would
+silently degrade trained-policy quality fail loudly. Reference protocol:
+`DAgger/test/test_policy_rollout.py:41-55` (checkpoint survival logging).
 """
 import os
 
@@ -56,3 +58,27 @@ def test_dagger_artifact_walks_in_jax_sim(go2):
     assert Q[:, 2].min() > 0.15
     assert np.abs(Q[:, 4:6]).max() < 0.6
     assert Q[-1, 0] > 0.8, Q[-1, 0]  # >= ~0.2 m/s realized at 0.3 command
+
+
+@pytest.mark.slow
+def test_dagger_artifact_walks_pure_in_mujoco(go2):
+    """PURE-policy sim-to-oracle transfer: the artifact (trained on
+    jax_sim data only, domain-randomized payload/terrain/pushes) walks the
+    MuJoCo plant for 5 s at 0.15 m/s with NO expert fallback. Measured at
+    training time: survives 5.0 s, x=0.70 m (0.14 m/s realized), and under
+    the combined controller the safety monitor never engages
+    (expert ratio 0.00)."""
+    from iterative_learning_nmpc_tpu.learning.policy_controller import (
+        PolicyController,
+    )
+    from iterative_learning_nmpc_tpu.sim.mujoco_sim import Simulator
+
+    sim = Simulator(go2)
+    pol = PolicyController(sim, ARTIFACT, v_des=np.array([0.15, 0.0, 0.0]))
+    res = sim.run(sim_time=5.0, controller=pol)
+    assert not res.fell, res
+    assert res.sim_time >= 5.0 - 1e-6
+    assert sim.data.qpos[0] > 0.4, sim.data.qpos[0]   # walked, not stood
+    assert 0.2 < sim.data.qpos[2] < 0.4
+    quat = sim.data.qpos[3:7]
+    assert abs(quat[0]) > 0.95  # upright
