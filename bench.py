@@ -129,18 +129,24 @@ def parity_sweep(rel):
         tag = gait + ("_topt" if topt else "")
         solver, params = _instance(gait, time_opt=topt)
         X, U = jax.jit(solver.cold_start)(params)
-        # (a) cold-start 6-iteration solve agreement
-        s_t = jax.jit(lambda x, u, p: solver.solve(x, u, p, 6))(X, U, params)
+        # (a) cold-start CONVERGED (15-iteration) solve agreement. Comparing
+        # at a fixed small iteration count is ill-posed for the same reason
+        # the headline gate avoids shifted warm starts: an ulp-level merit
+        # tie in the parallel line search can pick a different alpha on the
+        # two backends (measured: trot+time_opt diverges to 7e-3 at iter 1,
+        # then both paths reconverge to the shared fixed point — 5.3e-3
+        # elementwise at 6 iters, 3.8e-4 at 15). Fixed-point agreement and
+        # the single-RTI-step case (b) are the well-posed comparisons.
+        s_t = jax.jit(lambda x, u, p: solver.solve(x, u, p, 15))(X, U, params)
         jax.block_until_ready(s_t.U)
         solver_c = _cpu_solver(gait, time_opt=topt)
         with jax.default_device(cpu_dev):
-            s_c = jax.jit(lambda x, u, p: solver_c.solve(x, u, p, 6))(
+            s_c = jax.jit(lambda x, u, p: solver_c.solve(x, u, p, 15))(
                 np.asarray(X), np.asarray(U), jax.tree.map(np.asarray, params))
             U_c = np.asarray(s_c.U)
-        out[f"{tag}_cold6"] = rel(np.asarray(s_t.U), U_c)
+        out[f"{tag}_cold_conv"] = rel(np.asarray(s_t.U), U_c)
         # (b) steady-state RTI step from the TPU 15-iter converged point
-        s_conv = jax.jit(lambda x, u, p: solver.solve(x, u, p, 15))(X, U, params)
-        jax.block_until_ready(s_conv.U)
+        s_conv = s_t
         import dataclasses as _dc
 
         p1 = _dc.replace(jax.tree.map(lambda x: np.asarray(x), params),
