@@ -40,6 +40,16 @@ class SafeDaggerConfig:
     goals: Sequence[Sequence[float]] = ((0.15, 0.0, 0.0), (0.0, 0.0, 0.0), (-0.15, 0.0, 0.0))
     n_iterations_per_goal: int = 4
     seed: int = 0
+    # on-device collect extras (OnDeviceSafeDagger only):
+    # initial-state base randomization — z offset / pitch-roll / base linear
+    # velocity noise stds. Nonzero z/rpy noise makes the expert demonstrate
+    # recovery from height droop and tilt, the measured 0.3 m/s
+    # sim-to-oracle failure mode (docs/TRANSFER.md).
+    x0_z_noise: float = 0.0
+    x0_rpy_noise: float = 0.0
+    x0_vel_noise: float = 0.0
+    # optional tighter monitor height band for drift-triggered relabeling
+    unsafe_height_bounds: Optional[Sequence[float]] = None
 
 
 class SafeDaggerDataCollection:
@@ -169,7 +179,9 @@ class OnDeviceSafeDagger:
         self.rollout = make_batched_mpc_rollout(
             spec, gait_name=cfg.gait_name, n_intervals=self.n_intervals,
             policy=(net, variables, norm),
-            delay_steps=cfg.delay_steps, mpc_min_steps=cfg.mpc_min_steps)
+            delay_steps=cfg.delay_steps, mpc_min_steps=cfg.mpc_min_steps,
+            unsafe_height_bounds=(tuple(cfg.unsafe_height_bounds)
+                                  if cfg.unsafe_height_bounds else None))
 
         # settled nominal state (as examples/ondevice_datagen.py)
         q0 = np.asarray(spec.q_home, np.float32).copy()
@@ -202,6 +214,19 @@ class OnDeviceSafeDagger:
         x0b = np.tile(self._x0[None], (B, 1))
         x0b[:, 6:18] += self._rng.normal(
             0, self.joint_noise, (B, 12)).astype(np.float32)
+        # base-state randomization: recovery-from-drift training data
+        # (chart layout: z at 2, [yaw, pitch, roll] at 3:6, base vel 18:21)
+        if cfg.x0_z_noise > 0:
+            x0b[:, 2] += np.clip(
+                self._rng.normal(0, cfg.x0_z_noise, B),
+                -2.5 * cfg.x0_z_noise, 2.5 * cfg.x0_z_noise
+            ).astype(np.float32)
+        if cfg.x0_rpy_noise > 0:
+            x0b[:, 4:6] += self._rng.normal(
+                0, cfg.x0_rpy_noise, (B, 2)).astype(np.float32)
+        if cfg.x0_vel_noise > 0:
+            x0b[:, 18:21] += self._rng.normal(
+                0, cfg.x0_vel_noise, (B, 3)).astype(np.float32)
         vdes = np.tile(np.asarray(v_des, np.float32)[None], (B, 1))
 
         ps = tr = fw = None

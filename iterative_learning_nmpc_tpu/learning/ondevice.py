@@ -68,6 +68,8 @@ def make_batched_mpc_rollout(
     policy_kd: float = 1.5,
     delay_steps: int = 100,
     mpc_min_steps: int = 2500,
+    unsafe_height_bounds=None,      # override safety.UNSAFE_HEIGHT_BOUNDS
+    vel_track_tol: Optional[float] = None,
 ):
     """Build the jitted batched closed-loop rollout.
 
@@ -123,7 +125,12 @@ def make_batched_mpc_rollout(
 
     jb_rad = np.deg2rad(np.asarray(JOINT_BOUNDS_FLAT)).astype(np.float32)
     max_rp = float(np.deg2rad(UNSAFE_MAX_ROLL_PITCH_DEG))
-    lo_h, hi_h = UNSAFE_HEIGHT_BOUNDS
+    # tighter-than-default bands let DAgger collects trigger the expert on
+    # height DRIFT (the measured 0.3 m/s sim-to-real failure mode: slow
+    # z collapse 0.29 -> 0.20 over ~0.6 s, docs/TRANSFER.md) so relabeled
+    # recovery data covers the drift manifold before the fall
+    lo_h, hi_h = unsafe_height_bounds or UNSAFE_HEIGHT_BOUNDS
+    v_tol = vel_track_tol if vel_track_tol is not None else VEL_TRACK_TOL
 
     def unsafe_v2_dev(q, v, v_des):
         """jnp port of combined_controller.check_unsafe_state_v2 (chart
@@ -136,7 +143,7 @@ def make_batched_mpc_rollout(
         )
         joints = jnp.any(
             (q[6:] < jb_rad[:, 0]) | (q[6:] > jb_rad[:, 1]))
-        track = jnp.any(jnp.abs(v[:2] - v_des[:2]) > VEL_TRACK_TOL)
+        track = jnp.any(jnp.abs(v[:2] - v_des[:2]) > v_tol)
         return pose | joints | track
 
     def _norm_arrays(norm):

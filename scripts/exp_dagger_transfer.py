@@ -22,18 +22,34 @@ def main():
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--epochs", type=int, default=30)
     ap.add_argument("--mpc_min_steps", type=int, default=1000)
-    ap.add_argument("--goals", type=float, nargs="+", default=[0.3, 0.15])
+    ap.add_argument("--goals", default="0.3,0.15",
+                    help="comma-separated vx training goals (may be negative)")
+    ap.add_argument("--eval_goals", default=None,
+                    help="comma-separated vx eval goals (default: --goals)")
     ap.add_argument("--eval_secs", type=float, default=5.0)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--policy", default=None,
                     help="skip DAgger, evaluate this policy path")
     ap.add_argument("--randomize", action="store_true",
                     help="payload+terrain domain randomization per collect")
+    ap.add_argument("--base_noise", type=float, default=0.0,
+                    help="x0 base randomization scale: z std = 0.02*s, "
+                         "pitch/roll std = 0.05*s rad, vel std = 0.1*s m/s")
+    ap.add_argument("--tight_height", action="store_true",
+                    help="tighten monitor height band to (0.24, 0.40) so the "
+                         "expert relabels on height DRIFT, not just falls")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--skip_eval", action="store_true",
+                    help="train only (evaluate later via --policy, e.g. in a "
+                         "separate CPU process while the TPU trains on)")
     ap.add_argument("--init_policy", default=None,
                     help="override initial policy path (default: bc_dir BC)")
     ap.add_argument("--init_dataset", default=None,
                     help="override initial dataset (default: bc_dir data)")
     args = ap.parse_args()
+    args.goals = [float(g) for g in args.goals.split(",")]
+    args.eval_goals = ([float(g) for g in args.eval_goals.split(",")]
+                       if args.eval_goals else list(args.goals))
 
     import jax
 
@@ -64,6 +80,11 @@ def main():
             mpc_min_steps=args.mpc_min_steps,
             goals=tuple((g, 0.0, 0.0) for g in args.goals),
             n_iterations_per_goal=args.iters,
+            seed=args.seed,
+            x0_z_noise=0.02 * args.base_noise,
+            x0_rpy_noise=0.05 * args.base_noise,
+            x0_vel_noise=0.10 * args.base_noise,
+            unsafe_height_bounds=(0.24, 0.40) if args.tight_height else None,
         )
         pipe = OnDeviceSafeDagger(
             spec, cfg,
@@ -79,6 +100,10 @@ def main():
               f"{[round(r, 3) for r in pipe.expert_ratio_history]}")
     else:
         final = args.policy
+
+    if args.skip_eval:
+        print(f"final policy: {final}")
+        return
 
     # ---------------- evaluations ----------------
     from iterative_learning_nmpc_tpu.learning.network import load_policy
@@ -103,7 +128,7 @@ def main():
                          train=False)[0]
 
     ro = jax_sim.make_batched_policy_rollout(spec, apply_fn, T)
-    for vx in args.goals:
+    for vx in args.eval_goals:
         Q, V, fell = ro(jnp.asarray(q0)[None], jnp.zeros((1, 18)),
                         jnp.asarray([[vx, 0, 0]], jnp.float32))
         Q = np.asarray(Q[0])
@@ -121,7 +146,7 @@ def main():
     from iterative_learning_nmpc_tpu.mpc.controller import LocomotionMPC
     from iterative_learning_nmpc_tpu.sim.mujoco_sim import Simulator
 
-    for vx in args.goals:
+    for vx in args.eval_goals:
         v_des = np.array([vx, 0.0, 0.0])
         sim = Simulator(spec)
         pol = PolicyController(sim, final, v_des=v_des)
