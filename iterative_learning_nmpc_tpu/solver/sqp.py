@@ -547,7 +547,16 @@ class TrajOptSolver:
 
         alphas = jnp.asarray(self.ls_alphas if alphas is None else alphas)
         merits = jax.vmap(candidate)(alphas)
-        best = jnp.argmin(merits)
+        # Deterministic tie-break: backends (TPU vs CPU) produce ulp-level
+        # merit differences, and a bare argmin then selects DIFFERENT alphas
+        # at near-ties, which compounds across SQP iterations into visible
+        # (~5e-3) cross-backend trajectory divergence (ADVICE r3). Treat
+        # candidates within a relative epsilon of the minimum as tied and
+        # prefer the LARGEST alpha among them — both backends then choose
+        # identically wherever their merits agree to ~30 ulps.
+        m_min = jnp.min(merits)
+        tol = jnp.asarray(4e-6, merits.dtype) * jnp.abs(m_min)
+        best = jnp.argmax(jnp.where(merits <= m_min + tol, alphas, -jnp.inf))
         a_best = alphas[best].astype(X.dtype)
         X_new = X + a_best * dX1
         U_new = U + a_best * dU1

@@ -77,6 +77,42 @@ def test_trot_solution_shape(go2, trot_setup):
     assert np.abs(f * swing_mask).max() < 2.0  # pinned near zero by rf_zero
 
 
+def test_line_search_tie_break(go2, trot_setup):
+    """The merit argmax must resolve near-ties DETERMINISTICALLY to the
+    largest alpha (ADVICE r3): backends produce ulp-level merit
+    differences, and a bare argmin then picks different alphas per backend
+    at near-ties, compounding into ~5e-3 cross-backend trajectory
+    divergence over multiple SQP iterations. Contract pinned here:
+    (a) steps too small to change the merit beyond the tie tolerance select
+    alpha = 1.0 (NOT an arbitrary grid position), (b) a genuinely better
+    small-alpha candidate still wins strictly (the tolerance must not merge
+    distinct minima)."""
+    gait, opt, cost, solver, q0, x0, solve = trot_setup
+    N = solver.N
+    cnt = jnp.ones((4, N + 1), jnp.float32)
+    base_ref = jnp.zeros(12).at[:3].set(q0[:3]).at[2].set(gait.nom_height)
+    params = make_params(solver, x0, cnt, base_ref=base_ref,
+                         step_height=gait.step_height)
+    X, U = solver.cold_start(params)
+    sol = solve(X, U, params, 15)
+    rho = jnp.asarray(1.0, sol.X.dtype)
+    zero_def = jnp.zeros((N, 18), sol.X.dtype)
+
+    # (a) ulp-scale step: every alpha's merit ties -> largest alpha wins
+    dX1 = jnp.full_like(sol.X, 1e-7)
+    dU1 = jnp.full_like(sol.U, 1e-7)
+    sel = jax.jit(solver._merit_select)
+    _, _, _, _, a = sel(sol.X, sol.U, params, dX1, dU1, zero_def, rho, None)
+    assert float(a) == 1.0
+
+    # (b) an overshooting direction (merit grows steeply with alpha) must
+    # still strictly select the smallest-alpha candidate
+    dU_big = jnp.ones_like(sol.U) * 50.0
+    _, _, _, _, a2 = sel(sol.X, sol.U, params, jnp.zeros_like(sol.X),
+                         dU_big, zero_def, rho, None)
+    assert float(a2) == float(np.float32(min(opt.ls_alphas)))
+
+
 def test_warmstart_shift_rti(go2, trot_setup):
     """One RTI iteration from a shifted converged plan stays feasible and
     close to a fresh 15-iteration solve (the reference's steady-state regime,
