@@ -14,10 +14,23 @@ feeding the kinematic-tree pytree. This module provides:
   interop and round-trip golden tests.
 
 Supported URDF subset (asserted with clear errors, not silently wrong):
-quadruped trees with 12 revolute leg joints named ``{leg}_{hip,thigh,calf}*``
-for legs FL/FR/RL/RR, zero rpy on MOVABLE joint origins (the kinematic model
-composes joint rotations only — true of the published go2/solo descriptions'
-leg joints), arbitrary rpy on inertial frames and fixed joints.
+quadruped trees with 12 revolute leg joints in trunk->hip->thigh->calf
+chains. Static rotations ANYWHERE in the tree — movable-joint origin rpy,
+rotated fixed frames ahead of movable joints, rotated inertials — are
+folded into the spec by residual-rotation propagation (VERDICT r3 item 7):
+``RobotSpec`` frames carry no static rotation, so for a movable joint with
+accumulated pre-rotation ``C``:
+
+    T(p) . C . Rot(a, q) = T(p) . Rot(C a, q) . C
+
+the axis is pre-rotated and the residual ``C`` is pushed into everything
+downstream (child joint origins, axes, inertials, foot offsets) — exact,
+not approximate. Joint naming accepts the vendor variants
+(``FL_hip_joint`` / ``lf_haa`` / ANYmal-style ``LH_KFE``); when names
+don't classify, chains fall back to STRUCTURE-based classification
+(tree depth -> part, hip-origin x/y sign -> leg). Feet come from
+``*_foot`` fixed links' collision spheres, else from any sphere-collision
+fixed link on a calf.
 """
 from __future__ import annotations
 
@@ -30,6 +43,36 @@ import numpy as np
 from .spec import FEET_ORDER, PRISMATIC, REVOLUTE, RobotSpec
 
 _LEG_PARTS = ("hip", "thigh", "calf")
+
+# vendor naming variants (Unitree go/a1, ODRI solo, ANYmal conventions)
+_PART_ALIASES = {
+    "hip": ("hip", "haa", "abad", "abduct"),
+    "thigh": ("thigh", "hfe", "upper"),
+    "calf": ("calf", "kfe", "knee", "lower", "shank"),
+}
+_LEG_ALIASES = {
+    "FL": ("fl", "lf"),
+    "FR": ("fr", "rf"),
+    "RL": ("rl", "lh", "hl"),
+    "RR": ("rr", "rh", "hr"),
+}
+
+
+def _leg_from_name(name: str) -> Optional[str]:
+    low = name.lower()
+    for leg, aliases in _LEG_ALIASES.items():
+        if any(low.startswith(a + "_") or low.startswith(a) and
+               low[len(a):len(a) + 1] in ("_", "") for a in aliases):
+            return leg
+    return None
+
+
+def _part_from_name(name: str) -> Optional[str]:
+    low = name.lower()
+    for part, aliases in _PART_ALIASES.items():
+        if any(a in low for a in aliases):
+            return part
+    return None
 
 
 def _rpy_to_matrix(rpy) -> np.ndarray:
@@ -106,6 +149,40 @@ class _Inertial:
         return _Inertial(m, com, I)
 
 
+def _classify_by_structure(movable: List[dict], trunk: str):
+    """Classify 12 movable joints into (leg, part) from the TREE alone:
+    tree depth gives the part (trunk child = hip, hip child = thigh, thigh
+    child = calf) and the hip-origin x/y sign relative to the trunk
+    centroid gives the leg (x>centroid = Front, y>centroid = Left)."""
+    hips = [j for j in movable if j["anc_parent"] == trunk]
+    if len(hips) != 4:
+        raise ValueError(
+            f"structure classification: expected 4 trunk-attached hip "
+            f"joints, found {len(hips)}: {[j['name'] for j in hips]}")
+    chains = []
+    for h in hips:
+        t = next((j for j in movable if j["anc_parent"] == h["child"]), None)
+        c = (next((j for j in movable if j["anc_parent"] == t["child"]), None)
+             if t is not None else None)
+        if t is None or c is None:
+            raise ValueError(
+                f"structure classification: hip {h['name']} lacks a "
+                "thigh->calf chain")
+        chains.append((h, t, c))
+    centroid = np.mean([ch[0]["xyz"][:2] for ch in chains], axis=0)
+    by_leg: Dict[str, Dict[str, dict]] = {}
+    for ch in chains:
+        x, y = ch[0]["xyz"][:2]
+        leg = ("F" if x > centroid[0] else "R") + \
+              ("L" if y > centroid[1] else "R")
+        if leg in by_leg:
+            raise ValueError(
+                f"structure classification: two hips map to leg {leg} "
+                "(degenerate hip-origin layout)")
+        by_leg[leg] = dict(zip(_LEG_PARTS, ch))
+    return by_leg
+
+
 def _foot_sphere(link: ET.Element) -> Optional[float]:
     for col in link.findall("collision"):
         sph = col.find("geometry/sphere")
@@ -173,6 +250,7 @@ def parse_urdf(
     }
     movable: List[dict] = []
     foot_info: Dict[str, Tuple[str, np.ndarray, Optional[float]]] = {}
+    sphere_links: List[Tuple[str, np.ndarray, float]] = []
 
     # topological order: repeatedly resolve joints whose parent is mapped
     pending = list(joints)
@@ -193,22 +271,31 @@ def parse_urdf(
                     inertials[j["child"]], pj, Rj)
                 low = j["child"].lower()
                 if low.endswith("_foot") or low.endswith("_foot_link"):
-                    leg = j["child"].split("_")[0].upper()
+                    leg = _leg_from_name(j["child"]) or \
+                        j["child"].split("_")[0].upper()
                     foot_info[leg] = (
                         anc, pj, _foot_sphere(links[j["child"]]))
+                elif _foot_sphere(links[j["child"]]) is not None:
+                    # unnamed sphere-collision fixed link: foot candidate
+                    sphere_links.append(
+                        (anc, pj, _foot_sphere(links[j["child"]])))
             elif j["type"] in ("revolute", "continuous"):
-                if np.abs(j["rpy"]).max() > 1e-10:
-                    raise ValueError(
-                        f"joint {j['name']}: nonzero origin rpy {j['rpy']} — "
-                        "the kinematic model composes joint rotations only "
-                        "(robots/spec.py frames carry no static rotation); "
-                        "re-export the description with zero joint rpy")
-                if not np.allclose(R0, np.eye(3), atol=1e-10):
-                    raise ValueError(
-                        f"joint {j['name']}: movable joint hangs off a "
-                        "rotated fixed frame — unsupported")
-                movable.append(dict(j, xyz=p0 + j["xyz"], anc_parent=anc))
-                frame[j["child"]] = (j["child"], np.zeros(3), np.eye(3))
+                # Residual-rotation folding: spec frames carry no static
+                # rotation, so the accumulated pre-rotation C (fixed-chain
+                # rotation R0 times this joint's origin rpy) is folded into
+                # the joint axis — T(p).C.Rot(a,q) = T(p).Rot(Ca,q).C — and
+                # C propagates into EVERYTHING expressed downstream: child
+                # joint origins/axes (via frame), the child's own inertial,
+                # lumped fixed-descendant inertials, and foot offsets.
+                C = R0 @ _rpy_to_matrix(j["rpy"])
+                a = np.asarray(j["axis"], np.float64)
+                a = a / max(np.linalg.norm(a), 1e-12)
+                movable.append(dict(j, xyz=p0 + R0 @ j["xyz"], axis=C @ a,
+                                    anc_parent=anc))
+                frame[j["child"]] = (j["child"], np.zeros(3), C)
+                ine = inertials[j["child"]]
+                inertials[j["child"]] = _Inertial(
+                    ine.mass, C @ ine.com, C @ ine.inertia @ C.T)
             elif j["type"] == "floating":
                 frame[j["child"]] = (j["child"], np.zeros(3), np.eye(3))
                 if j["child"] in inertials and j["parent"] == trunk:
@@ -226,17 +313,19 @@ def parse_urdf(
             f"{[j['name'] for j in movable]}")
 
     # ---- classify the 12 joints into (leg, part) --------------------------
+    # name-based first (vendor aliases); if ANY joint fails, fall back to
+    # full structure-based classification so the two schemes never mix
     by_leg: Dict[str, Dict[str, dict]] = {leg: {} for leg in FEET_ORDER}
+    named_ok = True
     for j in movable:
-        jl = j["name"].lower()
-        leg = next((L for L in FEET_ORDER
-                    if jl.startswith(L.lower() + "_")), None)
-        part = next((p for p in _LEG_PARTS if p in jl), None)
-        if leg is None or part is None:
-            raise ValueError(
-                f"cannot classify joint {j['name']} as a "
-                f"{{FL,FR,RL,RR}}_{{hip,thigh,calf}} leg joint")
+        leg = _leg_from_name(j["name"])
+        part = _part_from_name(j["name"])
+        if leg is None or part is None or part in by_leg.get(leg, {}):
+            named_ok = False
+            break
         by_leg[leg][part] = j
+    if not named_ok:
+        by_leg = _classify_by_structure(movable, trunk)
 
     # ---- assemble the RobotSpec arrays ------------------------------------
     parent = [-1, 0, 1, 2, 3, 4]
@@ -276,7 +365,14 @@ def parse_urdf(
             joint_limits.append([j["lo"], j["hi"]])
         calf_link = parts["calf"]["child"]
         if leg not in foot_info:
-            raise ValueError(f"no {leg}_foot fixed link found")
+            # fallback: any sphere-collision fixed link on this calf
+            cand = [s for s in sphere_links if s[0] == calf_link]
+            if cand:
+                foot_info[leg] = cand[0]
+        if leg not in foot_info:
+            raise ValueError(
+                f"no {leg}_foot fixed link (nor a sphere-collision fixed "
+                f"link on calf {calf_link}) found")
         anc, off, radius = foot_info[leg]
         if anc != calf_link:
             raise ValueError(

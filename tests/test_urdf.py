@@ -179,12 +179,149 @@ def test_fixed_link_lumping_matches_numpy():
     assert abs(float(spec.mass[8]) - 0.25) < 1e-6
 
 
-def test_nonzero_movable_joint_rpy_rejected():
-    bad = _quad_urdf().replace(
-        '<origin xyz="0 0 -0.2" rpy="0 0 0"/>\n    <axis xyz="0 1 0"/>',
-        '<origin xyz="0 0 -0.2" rpy="0 0.1 0"/>\n    <axis xyz="0 1 0"/>', 1)
-    with pytest.raises(ValueError, match="rpy"):
-        parse_urdf(bad)
+def _vendor_leg(leg, mj_leg, sx, sy):
+    """ANYmal/solo-style leg: rotated fixed mount frame ahead of the HAA,
+    nonzero rpy on every movable joint origin, rotated inertial frames —
+    the vendor-description features the round-3 parser rejected."""
+    l = leg.lower()
+    return f"""
+  <link name="{l}_mount"/>
+  <joint name="{l}_mount_joint" type="fixed">
+    <parent link="base"/><child link="{l}_mount"/>
+    <origin xyz="{0.2*sx} {0.05*sy} 0.01" rpy="0 0 {0.3*sx*sy}"/>
+  </joint>
+  <link name="{l}_hip_assembly">
+    <inertial><origin xyz="0.01 {0.01*sy} 0" rpy="0.2 0 0.1"/>
+      <mass value="0.5"/>
+      <inertia ixx="1e-3" ixy="1e-5" ixz="0" iyy="1.2e-3" iyz="0" izz="9e-4"/>
+    </inertial>
+  </link>
+  <joint name="{leg}_HAA" type="revolute">
+    <parent link="{l}_mount"/><child link="{l}_hip_assembly"/>
+    <origin xyz="0.02 0 0" rpy="0.1 -0.05 0"/>
+    <axis xyz="1 0 0"/>
+    <limit effort="20" velocity="30" lower="-1" upper="1"/>
+  </joint>
+  <link name="{l}_upper_leg">
+    <inertial><origin xyz="0 0 -0.1" rpy="0 0.1 0"/>
+      <mass value="1.0"/>
+      <inertia ixx="5e-3" ixy="0" ixz="1e-4" iyy="5e-3" iyz="0" izz="1e-3"/>
+    </inertial>
+  </link>
+  <joint name="{leg}_HFE" type="revolute">
+    <parent link="{l}_hip_assembly"/><child link="{l}_upper_leg"/>
+    <origin xyz="0 {0.08*sy} 0" rpy="0 0.2 0"/>
+    <axis xyz="0 1 0"/>
+    <limit effort="20" velocity="30" lower="-2" upper="2"/>
+  </joint>
+  <link name="{l}_lower_leg">
+    <inertial><origin xyz="0 0 -0.1" rpy="0 0 0"/>
+      <mass value="0.2"/>
+      <inertia ixx="1e-3" ixy="0" ixz="0" iyy="1e-3" iyz="0" izz="1e-4"/>
+    </inertial>
+  </link>
+  <joint name="{leg}_KFE" type="revolute">
+    <parent link="{l}_upper_leg"/><child link="{l}_lower_leg"/>
+    <origin xyz="0 0 -0.2" rpy="-0.15 0 0.05"/>
+    <axis xyz="0 1 0"/>
+    <limit effort="30" velocity="30" lower="-2.7" upper="-0.8"/>
+  </joint>
+  <link name="{leg}_FOOT">
+    <collision><geometry><sphere radius="0.02"/></geometry></collision>
+  </link>
+  <joint name="{leg}_FOOT_joint" type="fixed">
+    <parent link="{l}_lower_leg"/><child link="{leg}_FOOT"/>
+    <origin xyz="0.01 0 -0.2" rpy="0 0 0"/>
+  </joint>
+"""
+
+
+def _vendor_urdf_xml():
+    blocks = "".join(
+        _vendor_leg(leg, leg,
+                    sx=(1.0 if leg[1] == "F" else -1.0),
+                    sy=(1.0 if leg[0] == "L" else -1.0))
+        for leg in ("LF", "RF", "LH", "RH"))
+    return f"""<robot name="vendor_toy">
+  <link name="base">
+    <inertial><origin xyz="0.01 0 0.02" rpy="0.05 0 0"/>
+      <mass value="5.0"/>
+      <inertia ixx="0.02" ixy="0" ixz="1e-3" iyy="0.08" iyz="0" izz="0.09"/>
+    </inertial>
+  </link>
+  {blocks}
+</robot>"""
+
+
+def test_vendor_style_urdf_rotated_frames_vs_mujoco():
+    """VERDICT r3 item 7: a vendor-style URDF — rotated fixed mount frames
+    ahead of movable joints, nonzero rpy on every movable joint origin,
+    ANYmal-style LF_HAA/HFE/KFE naming, rotated inertials — must parse via
+    residual-rotation folding and give FK that matches MuJoCo's own URDF
+    importer (independent oracle) at random configurations."""
+    import mujoco
+
+    xml = _vendor_urdf_xml()
+    spec = parse_urdf(xml)
+    assert spec.nv == 18 and len(spec.parent) == 18
+
+    m = mujoco.MjModel.from_xml_string(xml)
+    d = mujoco.MjData(m)
+    order = [f"{leg}_{part}" for leg in ("LF", "RF", "LH", "RH")
+             for part in ("HAA", "HFE", "KFE")]
+    rng = np.random.default_rng(3)
+    for _ in range(3):
+        qj = rng.uniform(-0.6, 0.6, 12)
+        # our chart: base(6)=0 (mj trunk is welded at origin), legs in
+        # FEET_ORDER = FL,FR,RL,RR <-> vendor LF,RF,LH,RH
+        q = np.zeros(18, np.float32)
+        q[6:] = qj
+        for i, jn in enumerate(order):
+            adr = m.jnt_qposadr[mujoco.mj_name2id(
+                m, mujoco.mjtObj.mjOBJ_JOINT, jn)]
+            d.qpos[adr] = qj[i]
+        mujoco.mj_forward(m, d)
+        ours = np.asarray(dyn.foot_positions(spec, q))
+        for i_leg, leg in enumerate(("lf", "rf", "lh", "rh")):
+            # MuJoCo fuses the static FOOT body into the lower leg; the
+            # foot sphere GEOM carries the foot point
+            b = mujoco.mj_name2id(m, mujoco.mjtObj.mjOBJ_BODY,
+                                  f"{leg}_lower_leg")
+            assert b >= 0
+            gs = [g for g in range(m.ngeom)
+                  if m.geom_bodyid[g] == b
+                  and m.geom_type[g] == mujoco.mjtGeom.mjGEOM_SPHERE]
+            assert len(gs) == 1
+            assert np.abs(ours[i_leg] - d.geom_xpos[gs[0]]).max() < 1e-5, (
+                leg, ours[i_leg], d.geom_xpos[gs[0]])
+
+    # mass bookkeeping: MuJoCo merges the welded trunk into world (mass not
+    # counted) and auto-densifies the inertial-less foot spheres (rho=1000),
+    # so compare leg mass with those two accounted for
+    sphere_m = 1000.0 * (4.0 / 3.0) * np.pi * 0.02**3
+    ours_legs = float(np.asarray(spec.mass)[6:].sum())
+    assert abs(ours_legs + 4 * sphere_m - float(m.body_mass.sum())) < 1e-4
+    # and the parsed spec must be dynamics-ready
+    tau = np.asarray(dyn.rnea(spec, np.asarray(spec.q_home),
+                              np.zeros(18, np.float32),
+                              np.zeros(18, np.float32)))
+    assert np.isfinite(tau).all()
+
+
+def test_structure_based_classification():
+    """Joint names that defeat every alias still classify by tree
+    structure + hip-origin signs."""
+    xml = _quad_urdf()
+    for leg in ("fl", "fr", "rl", "rr"):
+        for part in ("hip", "thigh", "calf"):
+            xml = xml.replace(f'name="{leg}_{part}_joint"',
+                              f'name="{leg}{part}J"')  # no separators
+    # joint names now unclassifiable by name ('flhipJ'), links keep names
+    spec = parse_urdf(xml)
+    ref = parse_urdf(_quad_urdf())
+    assert np.abs(np.asarray(spec.joint_pos)
+                  - np.asarray(ref.joint_pos)).max() < 1e-9
+    assert np.abs(np.asarray(spec.mass) - np.asarray(ref.mass)).max() < 1e-9
 
 
 def test_parsed_toy_spec_is_dynamics_ready():
