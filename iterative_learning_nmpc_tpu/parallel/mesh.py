@@ -123,6 +123,22 @@ def make_train_step_dp(net, tx, mesh: Mesh, axis_name: str = "dp"):
     return jax.jit(smapped)
 
 
+def shard_by_batch(mesh: Mesh, tree, batch: int, axis_name: str = "dp"):
+    """Shard leaves whose LEADING axis is the batch over the mesh; replicate
+    everything else. This is the placement rule for the DAgger data step's
+    mixed inputs: per-env x0/v_des/terrain/force windows shard, the nominal
+    spec leaves and policy weights replicate."""
+    dp = NamedSharding(mesh, P(axis_name))
+    rep = NamedSharding(mesh, P())
+
+    def place(x):
+        arr = jnp.asarray(x)
+        s = dp if (arr.ndim >= 1 and arr.shape[0] == batch) else rep
+        return jax.device_put(arr, s)
+
+    return jax.tree.map(place, tree)
+
+
 def all_gather_dataset(mesh: Mesh, local_rows, axis_name: str = "dp"):
     """Gather per-shard dataset rows to every device (DAgger aggregation)."""
     shard_map = _shard_map()
