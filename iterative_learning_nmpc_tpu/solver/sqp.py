@@ -57,6 +57,8 @@ class SolveStats(NamedTuple):
     alpha: jax.Array         # last accepted step size
     viol: jax.Array          # max scale-normalized inequality violation
     qp_iters: jax.Array      # inner QP (AL) iterations of the last SQP step
+    sqp_iters: jax.Array     # outer SQP iterations executed (early stop at
+                             # step_norm <= nlp_tol; the warm-start metric)
 
 
 class Solution(NamedTuple):
@@ -741,7 +743,12 @@ class TrajOptSolver:
                 # linear dynamics => defects shrink exactly by (1 - alpha)
                 merits = (cost_c + merit_rho * (1.0 - a)
                           * jnp.sum(jnp.abs(defects_pre)))
-                best = jnp.argmin(merits)
+                # same deterministic near-tie resolution as _merit_select
+                # (prefer the largest tied alpha) — see the ADVICE r3 note
+                m_min = jnp.min(merits)
+                tol_tie = jnp.asarray(4e-6, merits.dtype) * jnp.abs(m_min)
+                best = jnp.argmax(
+                    jnp.where(merits <= m_min + tol_tie, a, -jnp.inf))
                 X, U = Xc[best], Uc[best]
                 cost = merits[best]
                 r_eq, g = r_eq_c[best], g_c[best]
@@ -772,7 +779,7 @@ class TrajOptSolver:
             )
             return (i + 1, X, U, lam, r_eq, cost, viol, step_norm, alpha, j)
 
-        (_, X, U, lam_ineq, r_eq, cost, viol, step_norm, alpha,
+        (n_sqp, X, U, lam_ineq, r_eq, cost, viol, step_norm, alpha,
          qp_iters) = jax.lax.while_loop(
             cond, body,
             (jnp.asarray(0), X, U, params.lam_ineq, r_eq0, zero, zero, zero,
@@ -781,7 +788,8 @@ class TrajOptSolver:
         defect = jnp.max(jnp.abs(self._defects(X, U, params)))
         return Solution(
             X, U,
-            SolveStats(cost, defect, step_norm, alpha, viol, qp_iters),
+            SolveStats(cost, defect, step_norm, alpha, viol, qp_iters,
+                       n_sqp),
             lam_ineq, r_eq,
         )
 
