@@ -129,22 +129,28 @@ def parity_sweep(rel):
         tag = gait + ("_topt" if topt else "")
         solver, params = _instance(gait, time_opt=topt)
         X, U = jax.jit(solver.cold_start)(params)
-        # (a) cold-start CONVERGED (15-iteration) solve agreement. Comparing
-        # at a fixed small iteration count is ill-posed for the same reason
-        # the headline gate avoids shifted warm starts: an ulp-level merit
-        # tie in the parallel line search can pick a different alpha on the
-        # two backends (measured: trot+time_opt diverges to 7e-3 at iter 1,
-        # then both paths reconverge to the shared fixed point — 5.3e-3
-        # elementwise at 6 iters, 3.8e-4 at 15). Fixed-point agreement and
-        # the single-RTI-step case (b) are the well-posed comparisons.
+        # (a) cold-start agreement at BOTH the converged fixed point (15
+        # iterations) and a fixed mid-convergence count (6). The 6-iter
+        # case was ill-posed in r3 — an ulp-level merit tie in the
+        # parallel line search could pick a different alpha per backend
+        # (measured: trot+time_opt 7e-3 at iter 1, reconverging to 3.8e-4
+        # at 15) — and was RESTORED after the deterministic tie-break
+        # landed in solver/sqp.py (_merit_select + the solve() shared
+        # epilogue pick the largest alpha within a 4e-6 relative band, so
+        # both backends choose identically at near-ties; ADVICE r3).
         s_t = jax.jit(lambda x, u, p: solver.solve(x, u, p, 15))(X, U, params)
+        s_t6 = jax.jit(lambda x, u, p: solver.solve(x, u, p, 6))(X, U, params)
         jax.block_until_ready(s_t.U)
         solver_c = _cpu_solver(gait, time_opt=topt)
         with jax.default_device(cpu_dev):
             s_c = jax.jit(lambda x, u, p: solver_c.solve(x, u, p, 15))(
                 np.asarray(X), np.asarray(U), jax.tree.map(np.asarray, params))
             U_c = np.asarray(s_c.U)
+            s_c6 = jax.jit(lambda x, u, p: solver_c.solve(x, u, p, 6))(
+                np.asarray(X), np.asarray(U), jax.tree.map(np.asarray, params))
+            U_c6 = np.asarray(s_c6.U)
         out[f"{tag}_cold_conv"] = rel(np.asarray(s_t.U), U_c)
+        out[f"{tag}_cold_it6"] = rel(np.asarray(s_t6.U), U_c6)
         # (b) steady-state RTI step from the TPU 15-iter converged point
         s_conv = s_t
         import dataclasses as _dc

@@ -94,27 +94,42 @@ def algo_flops_riccati():
 
 
 def vpu_peak_tflops():
-    """Empirical VPU fp32 FMA ceiling: VMEM-resident chained FMAs."""
+    """Empirical fp32 elementwise-compute ceiling, two probes:
+
+    (a) Pallas VMEM-resident FMA chains (4 independent accumulators over a
+        (512,128) tile, 1024 iterations),
+    (b) XLA fused 80-FLOP/element polynomial over 64 MiB (compute-bound at
+        10 FLOP/byte given ~700 GB/s HBM).
+
+    The max of the two is the PRACTICAL fp32 VPU ceiling on this chip for
+    compiler-scheduled elementwise code — the relevant roof for these
+    batch-in-lanes kernels (they never touch the MXU). The theoretical
+    vreg-issue bound (8x128-lane FMA/cycle x ~0.94 GHz x multiple ALUs)
+    is ~2-8 TFLOP/s depending on issue width; both measured probes land
+    well under it, consistent with loop/issue overheads dominating
+    dependent elementwise chains.
+    """
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    ROWS, IT = 512, 512
+    from _timing import timeit
+
+    ROWS, IT, G, NACC = 512, 1024, 8, 4
 
     def kern(a_ref, b_ref, o_ref):
-        x = a_ref[...]
         b = b_ref[...]
-
-        def body(i, x):
-            return x * b + b
-
-        x = jax.lax.fori_loop(0, IT, body, x)
-        o_ref[...] = x
+        xs = tuple(a_ref[...] * (1.0 + 0.001 * k) for k in range(NACC))
+        xs = jax.lax.fori_loop(
+            0, IT, lambda i, xs: tuple(x * b + b for x in xs), xs)
+        acc = xs[0]
+        for x in xs[1:]:
+            acc = acc + x
+        o_ref[...] = acc
 
     a = jnp.ones((ROWS, 128), jnp.float32) * 0.999
     b = jnp.ones((ROWS, 128), jnp.float32) * 1e-6
-    G = 256
     fn = jax.jit(lambda a, b: pl.pallas_call(
         kern,
         grid=(G,),
@@ -124,11 +139,23 @@ def vpu_peak_tflops():
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((ROWS, 128), jnp.float32),
     )(a, b))
-    from _timing import timeit
+    t_ms = timeit(fn, a, b, reps=10)
+    tf_pallas = (2.0 * ROWS * 128 * IT * G * NACC) / (t_ms * 1e-3) / 1e12
 
-    t_ms = timeit(fn, a, b, reps=20)
-    flops = 2.0 * ROWS * 128 * IT * G
-    return flops / (t_ms * 1e-3) / 1e12, t_ms
+    n = 64 * 1024 * 1024            # 256 MiB: big enough that the 80-FLOP
+    x = jnp.linspace(0.1, 1.0, n)   # chain dwarfs the tunnel round-trip
+
+    def poly(x):
+        y = x
+        for _ in range(40):
+            y = y * x + x
+        return y
+
+    f = jax.jit(poly)
+    t2 = max(timeit(f, x, reps=50), 1e-3)
+    tf_xla = (80.0 * n) / (t2 * 1e-3) / 1e12
+    return max(tf_pallas, tf_xla), {"pallas_fma_TFLOPs": round(tf_pallas, 3),
+                                    "xla_poly_TFLOPs": round(tf_xla, 3)}
 
 
 def hbm_bw_gbs():
@@ -164,9 +191,9 @@ def tpu_measure():
     dev = jax.devices()[0].device_kind
     print(f"device: {dev}", flush=True)
 
-    vpu_tf, t_vpu = vpu_peak_tflops()
-    print(f"empirical VPU fp32 peak: {vpu_tf:.2f} TFLOP/s "
-          f"({t_vpu:.2f} ms micro)", flush=True)
+    vpu_tf, vpu_detail = vpu_peak_tflops()
+    print(f"empirical VPU fp32 ceiling: {vpu_tf:.2f} TFLOP/s "
+          f"({vpu_detail})", flush=True)
     bw, t_bw = hbm_bw_gbs()
     print(f"empirical HBM bandwidth: {bw:.0f} GB/s ({t_bw:.2f} ms micro)",
           flush=True)
@@ -237,6 +264,7 @@ def tpu_measure():
                  "measured, not datasheet)"),
         "device": dev,
         "empirical_vpu_fp32_TFLOPs": round(vpu_tf, 2),
+        "vpu_probes": vpu_detail,
         "empirical_hbm_GBps": round(bw, 0),
         "lingram": roof("lingram", t_lin, lin_in + lin_out,
                         flops.get("lingram_flops")),
