@@ -150,7 +150,9 @@ class OnDeviceSafeDagger:
     def __init__(self, spec: RobotSpec, cfg: SafeDaggerConfig,
                  initial_policy: str, initial_dataset: Optional[str] = None,
                  batch: int = 32, joint_noise: float = 0.03,
-                 randomize: bool = False):
+                 randomize: bool = False,
+                 payload_kwargs: Optional[dict] = None,
+                 terrain_kwargs: Optional[dict] = None):
         import jax
         import jax.numpy as jnp
 
@@ -163,6 +165,8 @@ class OnDeviceSafeDagger:
         self.batch = batch
         self.joint_noise = joint_noise
         self.randomize = randomize
+        self.payload_kwargs = payload_kwargs or {}
+        self.terrain_kwargs = terrain_kwargs or {}
         self.policy_path = initial_policy
         self.dataset_path = initial_dataset
         self.expert_ratio_history: List[float] = []
@@ -243,9 +247,11 @@ class OnDeviceSafeDagger:
 
             it = len(self.expert_ratio_history)
             ps = randomize_payload(
-                self.spec, jax.random.PRNGKey(cfg.seed + 7919 * it), B)
+                self.spec, jax.random.PRNGKey(cfg.seed + 7919 * it), B,
+                **self.payload_kwargs)
             tr = randomize_terrain(
-                jax.random.PRNGKey(cfg.seed + 104729 * it), B)
+                jax.random.PRNGKey(cfg.seed + 104729 * it), B,
+                **self.terrain_kwargs)
             fw = np.array(sample_force_windows(
                 jax.random.PRNGKey(cfg.seed + 1299709 * it), B,
                 self.n_intervals * 40))
