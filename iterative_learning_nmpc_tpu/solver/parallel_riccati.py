@@ -33,14 +33,23 @@ Validated bit-for-bit (f64) and to ~1e-2 relative (fp32, OCP conditioning)
 against the sequential `_riccati_solve` oracle in
 tests/test_parallel_riccati.py.
 
-MEASURED STATUS (v5e, B=256): the sequential sweep wins at both N=25
-(26 ms vs 275 ms) and N=100 (105 ms vs 1278 ms) — each composition costs a
-batched nonsymmetric 36x36 LU solve, and XLA-TPU LU throughput erases the
-log-depth advantage. Kept as a correctness-validated option
-(MPCOptConfig.riccati_mode="associative") for hardware/problem regimes where
-batched-solve throughput improves or horizons grow into the hundreds.
-scripts/bench_long_horizon.py reproduces the comparison (all three modes,
-incl. the N-parameterized Pallas sweep) at N=25/N=100.
+MEASURED STATUS (v5e, B=256, full-RTI-step wall — BENCH_HORIZON.json,
+2026-08-21): the sequential sweep beats this associative scan at both
+N=25 (47.4 ms vs 282.3 ms) and N=100 (161.0 ms vs 1307.2 ms) — each
+composition costs a batched nonsymmetric 36x36 LU solve, and XLA-TPU LU
+throughput erases the log-depth advantage. Kept as a correctness-validated
+option (MPCOptConfig.riccati_mode="associative") for hardware/problem
+regimes where batched-solve throughput improves or horizons grow into the
+hundreds. scripts/bench_long_horizon.py reproduces the comparison and
+writes BENCH_HORIZON.json.
+
+LONG-HORIZON RECOMMENDATION (evidence-backed): use the SEQUENTIAL sweep at
+N=100 — it is 8.1x the associative scan, and the N-parameterized fused
+Pallas sweep does NOT compile at N=100 on the current toolchain (the
+remote Mosaic compile helper crashes, reproducibly, batch-independently;
+at the production N=25 the Pallas chain is the fastest mode, 45.9 ms).
+Per-step cost scales ~3.4x for 4x horizon (161/47.4), i.e. sublinear
+thanks to shared per-call overheads.
 
 N=100 NUMERICS (tests/test_parallel_riccati.py::
 test_long_horizon_n100_modes_agree): in f64 the composition matches the

@@ -49,6 +49,7 @@ def main():
     spec = go2_spec()
     B = args.batch
     print(f"backend={jax.default_backend()} device={jax.devices()[0]} B={B}")
+    record = {}
 
     for N in args.horizons:
         gait, opt, cost = get_quadruped_config("trot", "go2")
@@ -108,9 +109,29 @@ def main():
             ms = float(np.median(times)) * 1e3
             rows[mode] = (f"{ms:8.1f} ms/step  ({B / (ms / 1e3):7.0f} "
                           f"solves/s, compile {compile_s:.0f}s)")
+            record.setdefault(f"N{N}", {})[mode] = {
+                "ms_per_batched_rti_step": round(ms, 1),
+                "solves_per_s": round(B / (ms / 1e3), 0),
+                "compile_s": round(compile_s, 0),
+            }
         print(f"\nN={N}:")
         for mode, r in rows.items():
             print(f"  {mode:12s} {r}")
+            if isinstance(r, str) and "failed" in r:
+                record.setdefault(f"N{N}", {})[mode] = r
+
+    import json
+
+    record["what"] = ("batched 1-RTI-step wall per Riccati mode "
+                      "(VERDICT r3 item 6)")
+    record["batch"] = B
+    record["device"] = str(jax.devices()[0].device_kind)
+    record["date"] = time.strftime("%Y-%m-%d")
+    out_path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "BENCH_HORIZON.json")
+    with open(out_path, "w") as f:
+        json.dump(record, f, indent=1)
+    print("wrote", out_path)
 
 
 if __name__ == "__main__":
