@@ -84,10 +84,51 @@ def save_policy(
     return path
 
 
-def load_policy(path: str):
-    """Returns (net, variables, norm_policy_input)."""
+def save_policy_bundle(path: str, entries) -> str:
+    """Goal-scheduled policy bundle: `entries` = [(goal_vec, payload_path)].
+
+    Gain scheduling over the commanded velocity: a deployment selects the
+    member whose training goal is nearest the commanded v_des (selection
+    happens once at controller construction — v_des is constant per
+    rollout in the reference protocol, `RolloutPolicy.py` passes one
+    v_des per run). Round-4 measured motivation (docs/TRANSFER.md):
+    per-goal pure-MuJoCo transfer is near-threshold and single policies
+    tip between goals with every retrain, while each goal has a robustly
+    validated member checkpoint."""
+    bundle = []
+    for goal, p in entries:
+        with open(p, "rb") as f:
+            payload = pickle.load(f)
+        bundle.append({"goal": [float(g) for g in goal], "payload": payload,
+                       "source": os.path.basename(p)})
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "wb") as f:
+        pickle.dump({"bundle": bundle}, f)
+    return path
+
+
+def load_policy(path: str, v_des=None):
+    """Returns (net, variables, norm_policy_input).
+
+    For a goal-scheduled bundle (save_policy_bundle), selects the member
+    with the nearest training goal to `v_des` (first member when v_des is
+    None)."""
+    import numpy as _np
+
     with open(path, "rb") as f:
         payload = pickle.load(f)
+    if "bundle" in payload:
+        entries = payload["bundle"]
+        if v_des is None:
+            payload = entries[0]["payload"]
+        else:
+            v = _np.asarray(v_des, _np.float64).reshape(-1)[:3]
+            d = [
+                float(_np.linalg.norm(
+                    _np.asarray(e["goal"], _np.float64)[: len(v)] - v))
+                for e in entries
+            ]
+            payload = entries[int(_np.argmin(d))]["payload"]
     cfg = payload.get("net_config", {})
     net = GoalConditionedPolicyNet(
         input_size=cfg.get("input_size", 47),

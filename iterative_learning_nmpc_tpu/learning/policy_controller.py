@@ -34,7 +34,10 @@ class PolicyController:
         use_phase: bool = False,
     ):
         self.sim = simulator
-        self.net, self.variables, norm = load_policy(policy_path)
+        # v_des routes goal-scheduled bundles to the nearest-goal member
+        # (plain payloads ignore it); selection is constant per rollout,
+        # matching the reference's one-v_des-per-run protocol
+        self.net, self.variables, norm = load_policy(policy_path, v_des=v_des)
         if norm is not None:
             self.state_mean = np.asarray(norm[0])
             self.state_std = np.where(np.asarray(norm[1]) > 1e-8, np.asarray(norm[1]), 1.0)
