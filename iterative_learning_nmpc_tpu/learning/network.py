@@ -111,8 +111,11 @@ def load_policy(path: str, v_des=None):
     """Returns (net, variables, norm_policy_input).
 
     For a goal-scheduled bundle (save_policy_bundle), selects the member
-    with the nearest training goal to `v_des` (first member when v_des is
-    None)."""
+    with the nearest training goal to `v_des`. Loading a bundle WITHOUT a
+    goal is ambiguous (which member?) — it warns and falls back to the
+    first member, so callers that feed a policy into training warm starts
+    (`train.py`, `dagger.py`) don't silently fine-tune an arbitrary
+    member."""
     import numpy as _np
 
     with open(path, "rb") as f:
@@ -120,6 +123,13 @@ def load_policy(path: str, v_des=None):
     if "bundle" in payload:
         entries = payload["bundle"]
         if v_des is None:
+            import warnings
+
+            warnings.warn(
+                f"load_policy({os.path.basename(path)}): goal-scheduled "
+                f"bundle loaded without v_des — falling back to the first "
+                f"member (goal {entries[0]['goal']}). Pass v_des to select "
+                "a member explicitly.", stacklevel=2)
             payload = entries[0]["payload"]
         else:
             v = _np.asarray(v_des, _np.float64).reshape(-1)[:3]

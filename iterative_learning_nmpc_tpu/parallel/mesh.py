@@ -123,20 +123,36 @@ def make_train_step_dp(net, tx, mesh: Mesh, axis_name: str = "dp"):
     return jax.jit(smapped)
 
 
-def shard_by_batch(mesh: Mesh, tree, batch: int, axis_name: str = "dp"):
+def shard_by_batch(mesh: Mesh, tree, batch: int, axis_name: str = "dp",
+                   batched=None):
     """Shard leaves whose LEADING axis is the batch over the mesh; replicate
     everything else. This is the placement rule for the DAgger data step's
     mixed inputs: per-env x0/v_des/terrain/force windows shard, the nominal
-    spec leaves and policy weights replicate."""
+    spec leaves and policy weights replicate.
+
+    `batched` (recommended): a pytree prefix of bools marking which subtrees
+    are batch-leading — explicit placement that cannot misfire when a
+    replicated leaf coincidentally has shape[0] == batch (e.g. a
+    `batch`-wide weight matrix). When omitted, falls back to inferring
+    from shape[0] == batch."""
     dp = NamedSharding(mesh, P(axis_name))
     rep = NamedSharding(mesh, P())
 
-    def place(x):
+    def place_infer(x):
         arr = jnp.asarray(x)
         s = dp if (arr.ndim >= 1 and arr.shape[0] == batch) else rep
         return jax.device_put(arr, s)
 
-    return jax.tree.map(place, tree)
+    if batched is None:
+        return jax.tree.map(place_infer, tree)
+
+    def place_marked(is_b, sub):
+        return jax.tree.map(
+            lambda x: jax.device_put(jnp.asarray(x), dp if is_b else rep), sub
+        )
+
+    return jax.tree.map(place_marked, batched, tree,
+                        is_leaf=lambda n: isinstance(n, bool))
 
 
 def all_gather_dataset(mesh: Mesh, local_rows, axis_name: str = "dp"):

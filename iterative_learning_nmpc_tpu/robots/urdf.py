@@ -153,7 +153,14 @@ def _classify_by_structure(movable: List[dict], trunk: str):
     """Classify 12 movable joints into (leg, part) from the TREE alone:
     tree depth gives the part (trunk child = hip, hip child = thigh, thigh
     child = calf) and the hip-origin x/y sign relative to the trunk
-    centroid gives the leg (x>centroid = Front, y>centroid = Left)."""
+    centroid gives the leg (x>centroid = Front, y>centroid = Left).
+
+    ASSUMPTION (checked below): the trunk frame is x-forward / y-left —
+    the universal quadruped-URDF convention (Unitree, ANYmal, ODRI). A
+    base frame with another axis convention would mislabel legs, so we
+    sanity-check the hip layout: quadruped bodies are longer than wide,
+    hence the hip x-spread must exceed the y-spread; otherwise we raise
+    rather than silently flipping front/left."""
     hips = [j for j in movable if j["anc_parent"] == trunk]
     if len(hips) != 4:
         raise ValueError(
@@ -170,6 +177,17 @@ def _classify_by_structure(movable: List[dict], trunk: str):
                 "thigh->calf chain")
         chains.append((h, t, c))
     centroid = np.mean([ch[0]["xyz"][:2] for ch in chains], axis=0)
+    hip_xy = np.array([ch[0]["xyz"][:2] for ch in chains])
+    x_spread = hip_xy[:, 0].max() - hip_xy[:, 0].min()
+    y_spread = hip_xy[:, 1].max() - hip_xy[:, 1].min()
+    if x_spread <= y_spread:
+        raise ValueError(
+            "structure classification assumes an x-forward/y-left trunk "
+            f"frame, but the hip x-spread ({x_spread:.3f} m) does not "
+            f"exceed the y-spread ({y_spread:.3f} m) — the base frame "
+            "likely uses a different axis convention (quadruped bodies "
+            "are longer than wide). Re-export the URDF x-forward or use "
+            "named joints (FL_/FR_/RL_/RR_ prefixes).")
     by_leg: Dict[str, Dict[str, dict]] = {}
     for ch in chains:
         x, y = ch[0]["xyz"][:2]
@@ -365,9 +383,15 @@ def parse_urdf(
             joint_limits.append([j["lo"], j["hi"]])
         calf_link = parts["calf"]["child"]
         if leg not in foot_info:
-            # fallback: any sphere-collision fixed link on this calf
+            # fallback: a sphere-collision fixed link on this calf. Picked
+            # DETERMINISTICALLY when several exist (not declaration order):
+            # the lowest-z offset (feet hang below the calf), radius as
+            # tie-break — so vendor files with e.g. extra knee-guard
+            # spheres resolve to the same foot regardless of joint order.
             cand = [s for s in sphere_links if s[0] == calf_link]
             if cand:
+                cand.sort(key=lambda s: (float(s[1][2]),
+                                         -(s[2] if s[2] is not None else 0.0)))
                 foot_info[leg] = cand[0]
         if leg not in foot_info:
             raise ValueError(

@@ -112,7 +112,8 @@ def main():
         vdes = np.zeros((B, 3), np.float32)
         vdes[:, 0] = rng.uniform(-0.2, 0.35, B)
         vdes[:, 1] = rng.uniform(-0.05, 0.05, B)
-        # pin a quarter of envs to the exact eval goals
+        # pin half of the envs to the exact eval goals (stride 2*len ->
+        # each goal gets B/8 envs, 4*B/8 = B/2 pinned total)
         for i, g in enumerate(EVAL_VX):
             vdes[i::2 * len(EVAL_VX), 0] = g
             vdes[i::2 * len(EVAL_VX), 1] = 0.0
