@@ -257,11 +257,19 @@ def rollout_combined(
     delay_steps: int = 100,
     mpc_min_steps: int = 2500,
     simulator: Optional[Simulator] = None,
+    start_state: Optional[Tuple[np.ndarray, np.ndarray]] = None,
 ) -> RolloutResult:
     """SafeDAgger rollout: policy with MPC fallback; records is_expert per
-    step for expert relabeling."""
+    step for expert relabeling. `start_state` (mujoco chart) lets in-plant
+    data collection diversify rollout starts the way the reference's
+    perturbed-restart expert rollouts do (`DAgger/utils/RolloutMPC.py:
+    324-439`); default is the reference's home start."""
     sim = simulator or Simulator(spec)
-    sim.reset()
+    if start_state is not None:
+        sim.reset(q_mj=np.asarray(start_state[0]),
+                  v_mj=np.asarray(start_state[1]))
+    else:
+        sim.reset()
     mpc = LocomotionMPC(spec, gait_name=gait_name, solve_async=False)
     policy = PolicyController(sim, policy_path, v_des=v_des)
     combined = CombinedController(

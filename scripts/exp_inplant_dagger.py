@@ -1,0 +1,364 @@
+"""In-plant iterative SafeDAgger at reference scale (VERDICT r4 item 1).
+
+The reference's flagship modality: iterative LocoSafeDAgger IN the
+deployment plant (MuJoCo) — combined-controller rollouts, expert-row
+relabeling, aggregation into one running dataset, warm-started retrain,
+iterated over velocity goals, producing ONE policy
+(`/root/reference/DAgger/example/iter_locosafedagger.py:54-102`,
+`DAgger/utils/data_collection_locosafedagger.py:133-224`,
+`DAgger/utils/train_locosafedagger.py:152-191`).
+
+Protocol here (reference values, upgrades noted):
+- goal blocks [0.15, 0.0, -0.15] x n_iter each (reference), +0.3 stretch
+  block; 10 s combined rollouts, monitor v2, delay 100, latch 2500;
+- K parallel rollouts per data step (reference runs 1; K>1 with small
+  joint-noise start states diversifies the same way its perturbed-restart
+  expert rollouts do) — all expert rows aggregate into ONE dataset;
+- retrain: warm start from the current policy, 15 epochs Adam 1e-3
+  batch 256 (`DAgger/cfgs/iter_locosafedagger.yaml:69-72`);
+- after every retrain: pure-policy 4-goal MuJoCo screen (the reference's
+  checkpoint-survival protocol, `DAgger/test/test_policy_rollout.py:41-55`).
+
+Everything is subprocess-per-stage so collects parallelize on CPU cores
+and a retrain can target the TPU without the orchestrator importing JAX.
+
+    python scripts/exp_inplant_dagger.py drive --out /root/repo/.expr/dagger5
+"""
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+GOALS_SCREEN = (0.3, 0.15, 0.0, -0.15)
+
+
+def _cpu_jax():
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(REPO, ".jax_cache"))
+
+
+# ---------------------------------------------------------------------------
+def cmd_collect(args):
+    """One combined-controller rollout; writes recorder rows npz + a result
+    json (expert ratio, survival)."""
+    _cpu_jax()
+    import numpy as np
+
+    from iterative_learning_nmpc_tpu.learning.rollouts import rollout_combined
+    from iterative_learning_nmpc_tpu.robots.go2 import go2_spec
+    from iterative_learning_nmpc_tpu.sim.mujoco_sim import Simulator
+
+    spec = go2_spec()
+    sim = Simulator(spec)
+    start_state = None
+    if args.joint_noise > 0:
+        rng = np.random.default_rng(args.seed)
+        sim.reset()
+        q0 = np.asarray(sim.data.qpos).copy()
+        v0 = np.asarray(sim.data.qvel).copy()
+        q0[7:] += rng.normal(0.0, args.joint_noise, 12)
+        start_state = (q0, v0)
+
+    t0 = time.time()
+    r = rollout_combined(
+        spec, args.policy, sim_time=args.sim_time,
+        v_des=np.array([args.vx, 0.0, 0.0]),
+        record_dir=os.path.dirname(args.out_npz), simulator=sim,
+        monitor=args.monitor, delay_steps=args.delay_steps,
+        mpc_min_steps=args.mpc_min_steps, start_state=start_state,
+    )
+    rec = r.recorder
+    data = {k: np.asarray(v) for k, v in rec.data.items()}
+    np.savez(args.out_npz, **data)
+    is_expert = data["is_expert"].astype(bool)
+    res = dict(
+        npz=args.out_npz, vx=args.vx, seed=args.seed,
+        sim_time=float(r.sim.sim_time), fell=bool(r.sim.fell),
+        steps=int(len(is_expert)), expert_steps=int(is_expert.sum()),
+        expert_ratio=float(is_expert.mean()) if len(is_expert) else 0.0,
+        wall=round(time.time() - t0, 1),
+    )
+    with open(args.out_json, "w") as f:
+        json.dump(res, f)
+    print(f"[collect] vx={args.vx:+.2f} seed={args.seed}: "
+          f"t={res['sim_time']:.1f}s fell={res['fell']} "
+          f"expert {res['expert_steps']}/{res['steps']} "
+          f"({res['expert_ratio']:.3f}) wall={res['wall']}s", flush=True)
+
+
+# ---------------------------------------------------------------------------
+def cmd_train(args):
+    """Aggregate expert rows into the running dataset, retrain warm-started.
+    Prints 'FINAL <path>' on success."""
+    if args.device == "cpu":
+        _cpu_jax()
+    else:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(REPO, ".jax_cache"))
+    import numpy as np
+
+    from iterative_learning_nmpc_tpu.learning.database import Database
+    from iterative_learning_nmpc_tpu.learning.train import (
+        BehavioralCloning,
+        TrainConfig,
+    )
+
+    db = Database(limit=10_000_000, goal_type="vc")
+    for prev in (args.prev.split(",") if args.prev else []):
+        if prev and os.path.exists(prev):
+            db.load_saved_database(prev)
+    n_prev = len(db)
+    traj_base = args.traj_base
+    for i, npz_path in enumerate(args.rows):
+        d = np.load(npz_path)
+        keep = d["is_expert"].astype(bool)
+        if not keep.any():
+            continue
+        db.append(
+            d["state"][keep], d["action"][keep],
+            vc_goals=d["vc_goals"][keep], cc_goals=d["cc_goals"][keep],
+            traj_id=np.full(int(keep.sum()), traj_base + i),
+            times=d["time"][keep],
+        )
+    print(f"[train] aggregate: {n_prev} prev + {len(db) - n_prev} new "
+          f"expert rows = {len(db)}", flush=True)
+    db.save_as_hdf5(args.out_h5)
+
+    tc = TrainConfig(
+        learning_rate=args.lr, batch_size=args.batch_size,
+        n_epochs=args.epochs, save_dir=args.save_dir,
+        run_name=args.run_name, seed=args.seed,
+        ckpt_every=max(args.epochs, 1),  # final only
+    )
+    bc = BehavioralCloning(tc)
+    t0 = time.time()
+    final = bc.run(db, warm_start_path=args.warm_start)
+    m = bc.metrics[-1]
+    print(f"[train] {args.epochs} epochs in {time.time()-t0:.0f}s "
+          f"train={m['train_loss']:.4f} val={m['val_loss']:.4f}", flush=True)
+    print(f"FINAL {final}", flush=True)
+
+
+# ---------------------------------------------------------------------------
+def cmd_screen(args):
+    """Pure-policy 4-goal MuJoCo screen -> json. 'walks' = survives
+    eval_secs AND makes >=40% commanded-direction progress (stand: |x|<0.5)."""
+    _cpu_jax()
+    import numpy as np
+
+    from iterative_learning_nmpc_tpu.learning.policy_controller import (
+        PolicyController,
+    )
+    from iterative_learning_nmpc_tpu.robots.go2 import go2_spec
+    from iterative_learning_nmpc_tpu.sim.mujoco_sim import Simulator
+
+    spec = go2_spec()
+    res = {}
+    for g in GOALS_SCREEN:
+        sim = Simulator(spec)
+        pol = PolicyController(sim, args.policy, v_des=np.array([g, 0.0, 0.0]))
+        r = sim.run(sim_time=args.eval_secs, controller=pol)
+        x = float(sim.data.qpos[0])
+        ok = (not r.fell) and r.sim_time >= args.eval_secs - 1e-6
+        if g != 0.0:
+            ok = ok and (np.sign(x) == np.sign(g)
+                         and abs(x) >= 0.4 * abs(g) * args.eval_secs)
+        else:
+            ok = ok and abs(x) < 0.5
+        res[str(g)] = dict(t=round(float(r.sim_time), 2), x=round(x, 2),
+                           ok=bool(ok))
+        print(f"[screen] vx={g:+.2f}: t={r.sim_time:.2f} x={x:+.2f} "
+              f"{'OK' if ok else '--'}", flush=True)
+    res["n_ok"] = sum(1 for g in GOALS_SCREEN if res[str(g)]["ok"])
+    with open(args.out_json, "w") as f:
+        json.dump(res, f)
+    print(f"[screen] {args.policy}: {res['n_ok']}/4", flush=True)
+
+
+# ---------------------------------------------------------------------------
+def cmd_drive(args):
+    """The outer loop. Resumable via <out>/state.json."""
+    out = args.out
+    os.makedirs(out, exist_ok=True)
+    state_path = os.path.join(out, "state.json")
+    log_path = os.path.join(out, "log.jsonl")
+    goal_blocks = [float(g) for g in args.goals.split(",")]
+    steps = [(g, i) for g in goal_blocks for i in range(args.n_iter)]
+
+    if os.path.exists(state_path):
+        with open(state_path) as f:
+            st = json.load(f)
+    else:
+        st = dict(policy=args.seed_policy, dataset=args.seed_datasets,
+                  done=0)
+    py = sys.executable
+    me = os.path.abspath(__file__)
+
+    def log(rec):
+        rec["t"] = time.strftime("%H:%M:%S")
+        with open(log_path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+
+    for step_i in range(st["done"], len(steps)):
+        vx, it = steps[step_i]
+        tag = f"s{step_i:02d}_vx{vx:+.2f}_it{it}".replace("+", "p").replace(
+            "-", "m").replace(".", "")
+        sdir = os.path.join(out, tag)
+        os.makedirs(sdir, exist_ok=True)
+        t0 = time.time()
+
+        # ---- K parallel combined rollouts ----
+        procs, jsons, npzs = [], [], []
+        for k in range(args.k_rollouts):
+            npz = os.path.join(sdir, f"rows_{k}.npz")
+            js = os.path.join(sdir, f"rows_{k}.json")
+            npzs.append(npz)
+            jsons.append(js)
+            cmd = [py, me, "collect", "--policy", st["policy"],
+                   "--vx", str(vx), "--out_npz", npz, "--out_json", js,
+                   "--sim_time", str(args.sim_time),
+                   "--seed", str(1000 * step_i + k),
+                   "--joint_noise", "0.0" if k == 0 else str(args.joint_noise),
+                   "--mpc_min_steps", str(args.mpc_min_steps),
+                   "--delay_steps", str(args.delay_steps),
+                   "--monitor", args.monitor]
+            lf = open(os.path.join(sdir, f"collect_{k}.log"), "w")
+            procs.append((subprocess.Popen(cmd, stdout=lf, stderr=lf), lf))
+        for p, lf in procs:
+            p.wait()
+            lf.close()
+        collects = []
+        for js in jsons:
+            if os.path.exists(js):
+                with open(js) as f:
+                    collects.append(json.load(f))
+        if not collects:
+            raise RuntimeError(f"step {tag}: every collect worker failed")
+        ratio = (sum(c["expert_steps"] for c in collects)
+                 / max(sum(c["steps"] for c in collects), 1))
+
+        # ---- aggregate + retrain ----
+        agg = os.path.join(sdir, "agg_dataset.hdf5")
+        cmd = [py, me, "train", "--prev", st["dataset"],
+               "--out_h5", agg, "--warm_start", st["policy"],
+               "--save_dir", os.path.join(out, "policies"),
+               "--run_name", tag, "--epochs", str(args.epochs),
+               "--lr", str(args.lr), "--batch_size", str(args.batch_size),
+               "--device", args.train_device, "--seed", str(step_i),
+               "--traj_base", str(1000 * (step_i + 1)),
+               "--rows"] + [n for n in npzs if os.path.exists(n)]
+        tl = os.path.join(sdir, "train.log")
+        with open(tl, "w") as lf:
+            subprocess.run(cmd, stdout=lf, stderr=lf, check=True)
+        final = None
+        with open(tl) as f:
+            for line in f:
+                if line.startswith("FINAL "):
+                    final = line.split(" ", 1)[1].strip()
+        assert final and os.path.exists(final), f"no FINAL in {tl}"
+
+        # ---- screen ----
+        sj = os.path.join(sdir, "screen.json")
+        with open(os.path.join(sdir, "screen.log"), "w") as lf:
+            subprocess.run([py, me, "screen", "--policy", final,
+                            "--out_json", sj,
+                            "--eval_secs", str(args.eval_secs)],
+                           stdout=lf, stderr=lf, check=True)
+        with open(sj) as f:
+            screen = json.load(f)
+
+        st.update(policy=final, dataset=agg, done=step_i + 1)
+        with open(state_path, "w") as f:
+            json.dump(st, f, indent=1)
+        rec = dict(step=step_i, tag=tag, vx=vx, iter=it,
+                   expert_ratio=round(ratio, 4),
+                   collects=[dict(t=c["sim_time"], fell=c["fell"],
+                                  r=round(c["expert_ratio"], 3))
+                             for c in collects],
+                   screen={g: screen[g]["ok"] for g in map(str, GOALS_SCREEN)},
+                   n_ok=screen["n_ok"], policy=final,
+                   wall=round(time.time() - t0, 1))
+        log(rec)
+        print(f"[drive] {tag}: ratio={ratio:.3f} screen={screen['n_ok']}/4 "
+              f"wall={rec['wall']}s -> {final}", flush=True)
+    print("[drive] all steps done", flush=True)
+
+
+# ---------------------------------------------------------------------------
+def main():
+    ap = argparse.ArgumentParser()
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("collect")
+    c.add_argument("--policy", required=True)
+    c.add_argument("--vx", type=float, required=True)
+    c.add_argument("--out_npz", required=True)
+    c.add_argument("--out_json", required=True)
+    c.add_argument("--sim_time", type=float, default=10.0)
+    c.add_argument("--seed", type=int, default=0)
+    c.add_argument("--joint_noise", type=float, default=0.0)
+    c.add_argument("--mpc_min_steps", type=int, default=2500)
+    c.add_argument("--delay_steps", type=int, default=100)
+    c.add_argument("--monitor", default="v2")
+    c.set_defaults(fn=cmd_collect)
+
+    t = sub.add_parser("train")
+    t.add_argument("--prev", default="")
+    t.add_argument("--rows", nargs="*", default=[])
+    t.add_argument("--out_h5", required=True)
+    t.add_argument("--warm_start", required=True)
+    t.add_argument("--save_dir", required=True)
+    t.add_argument("--run_name", required=True)
+    t.add_argument("--epochs", type=int, default=15)
+    t.add_argument("--lr", type=float, default=1.0e-3)
+    t.add_argument("--batch_size", type=int, default=256)
+    t.add_argument("--device", default="cpu", choices=("cpu", "tpu"))
+    t.add_argument("--seed", type=int, default=0)
+    t.add_argument("--traj_base", type=int, default=1000)
+    t.set_defaults(fn=cmd_train)
+
+    s = sub.add_parser("screen")
+    s.add_argument("--policy", required=True)
+    s.add_argument("--out_json", required=True)
+    s.add_argument("--eval_secs", type=float, default=5.0)
+    s.set_defaults(fn=cmd_screen)
+
+    d = sub.add_parser("drive")
+    d.add_argument("--out", default=os.path.join(REPO, ".expr", "dagger5"))
+    d.add_argument("--goals", default="0.15,0.0,-0.15,0.3")
+    d.add_argument("--n_iter", type=int, default=4)
+    d.add_argument("--k_rollouts", type=int, default=3)
+    d.add_argument("--sim_time", type=float, default=10.0)
+    d.add_argument("--joint_noise", type=float, default=0.03)
+    d.add_argument("--mpc_min_steps", type=int, default=2500)
+    d.add_argument("--delay_steps", type=int, default=100)
+    d.add_argument("--monitor", default="v2")
+    d.add_argument("--epochs", type=int, default=15)
+    d.add_argument("--lr", type=float, default=1.0e-3)
+    d.add_argument("--batch_size", type=int, default=256)
+    d.add_argument("--train_device", default="cpu", choices=("cpu", "tpu"))
+    d.add_argument("--eval_secs", type=float, default=5.0)
+    d.add_argument("--seed_policy", default=os.path.join(
+        REPO, "assets", "policy_go2_trot_host_bc.pkl"))
+    d.add_argument("--seed_datasets", default=",".join([
+        os.path.join(REPO, ".expr", "host", "collect_p015", "database_0.hdf5"),
+        os.path.join(REPO, ".expr", "host", "collect_p030", "database_0.hdf5"),
+    ]))
+    d.set_defaults(fn=cmd_drive)
+
+    args = ap.parse_args()
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()
