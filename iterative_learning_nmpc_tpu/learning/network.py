@@ -107,6 +107,31 @@ def save_policy_bundle(path: str, entries) -> str:
     return path
 
 
+def make_policy_apply(path: str, v_des=None):
+    """(47,) -> (12,) single-sample apply with the payload's normalization
+    folded in (state columns 1: and goal; phase column passes through —
+    the contract of `PolicyController.policy_input`). jit/vmap/scan-safe:
+    use inside device programs (solver warm starts, device-plant rollouts)."""
+    import numpy as _np
+
+    net, variables, norm = load_policy(path, v_des=v_des)
+    if norm is None:
+        norm = (_np.zeros(44, _np.float32), _np.ones(44, _np.float32),
+                _np.zeros(3, _np.float32), _np.ones(3, _np.float32))
+    mu_s, sd_s, mu_g, sd_g = [_np.asarray(x, _np.float32) for x in norm]
+    sd_s = _np.where(sd_s > 1e-8, sd_s, 1.0)
+    sd_g = _np.where(sd_g > 1e-8, sd_g, 1.0)
+
+    def apply_fn(x):
+        s, g = x[:44], x[44:]
+        s = s.at[1:].set((s[1:] - mu_s[1:]) / sd_s[1:])
+        g = (g - mu_g) / sd_g
+        return net.apply(variables, jnp.concatenate([s, g])[None],
+                         train=False)[0]
+
+    return apply_fn
+
+
 def load_policy(path: str, v_des=None):
     """Returns (net, variables, norm_policy_input).
 

@@ -1,16 +1,30 @@
-"""Measure policy warm starts vs cold inits on the TPU -> BENCH_WARMSTART.json.
+"""Measure cold-boot inits on the solver -> BENCH_WARMSTART.json.
 
 BASELINE.json north star: "learned-policy warm-starts feed back into the
-solver to cut iterations". Uses the SHIPPED artifact
-(assets/policy_go2_trot_ondevice_dagger.pkl) on three start states (home
-stand, perturbed mid-gait, post-divergence recovery), three inits:
+solver to cut iterations". Round-5 closure: the measured value decomposes
+into (a) the initial (X, U) guess — where the engineered stationary
+cold_start wins against every policy rollout — and (b) the GAIT-PHASE
+OFFSET of the contact schedule, which a cold boot is free to choose and
+which moves the converged solution up to 24% on perturbed states.
+`merit_phase_boot` (the production LocomotionMPC cold-boot path) picks it
+with one vmapped 3-iteration probe.
 
-- naive:  x0-replicated states + zero inputs (acados-style cold start)
-- cold:   solver.cold_start (engineered stationary stance + gravity shares)
-- policy: solver/warmstart.policy_warmstart (device-plant policy rollout)
+Uses the SHIPPED artifact (assets/policy_go2_trot_ondevice_dagger.pkl) on
+three start states (home stand, perturbed mid-gait, post-divergence
+recovery), five inits:
 
-Reports iterations-to-nlp_tol (SolveStats.sqp_iters), final GN cost, and
-the wall latency of the full cold-boot path (init + 15-iteration solve).
+- naive:        x0-replicated states + zero inputs (acados-style)
+- cold:         solver.cold_start at the fixed offset-0 schedule
+- policy:       solver/warmstart.policy_warmstart (device-plant rollout,
+                offset-0 schedule) — the round-4 path
+- policy_match: phase_aligned_warmstart (rollout + contact-pattern offset
+                pick) — the learned phase-alignment variant
+- merit_boot:   merit_phase_boot offset pick + engineered cold start —
+                the production path
+
+Reports iterations-to-nlp_tol (SolveStats.sqp_iters), final GN cost, the
+probe's offset pick vs the true best offset (15-iteration vmapped sweep),
+and full cold-boot latency (init + 15-iteration solve, ONE device call).
 
     python scripts/bench_warmstart.py [--cpu] [--out BENCH_WARMSTART.json]
 """
@@ -40,35 +54,34 @@ def main():
                       os.path.join(os.path.dirname(os.path.dirname(
                           os.path.abspath(__file__))), ".jax_cache"))
 
+    import dataclasses as dc
+
     import jax.numpy as jnp
     import numpy as np
 
     from iterative_learning_nmpc_tpu.gait.planner import ContactPlanner
-    from iterative_learning_nmpc_tpu.learning.network import load_policy
+    from iterative_learning_nmpc_tpu.learning.network import make_policy_apply
     from iterative_learning_nmpc_tpu.models import dynamics as dyn
     from iterative_learning_nmpc_tpu.mpc.config import get_quadruped_config
     from iterative_learning_nmpc_tpu.robots.go2 import go2_spec
     from iterative_learning_nmpc_tpu.solver.sqp import TrajOptSolver, make_params
-    from iterative_learning_nmpc_tpu.solver.warmstart import policy_warmstart
+    from iterative_learning_nmpc_tpu.solver.warmstart import (
+        contact_windows,
+        merit_phase_boot,
+        phase_aligned_warmstart,
+        policy_warmstart,
+    )
 
     spec = go2_spec()
     gait, opt, cost = get_quadruped_config("trot", "go2")
     solver = TrajOptSolver(spec, opt, cost)
     N = solver.N
     planner = ContactPlanner(spec.feet_frame_names, solver.dt_nodes, gait)
+    W = jnp.asarray(contact_windows(planner, N))
 
-    net, variables, norm = load_policy(os.path.join(
+    apply_fn = make_policy_apply(os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "assets", "policy_go2_trot_ondevice_dagger.pkl"))
-    mu_s, sd_s, mu_g, sd_g = [np.asarray(x, np.float32) for x in norm]
-    sd_s = np.where(sd_s > 1e-8, sd_s, 1.0)
-
-    def apply_fn(x):
-        s, g = x[:44], x[44:]
-        s = s.at[1:].set((s[1:] - mu_s[1:]) / sd_s[1:])
-        g = (g - mu_g) / sd_g
-        return net.apply(variables, jnp.concatenate([s, g])[None],
-                         train=False)[0]
 
     q0 = np.asarray(spec.q_home, np.float32).copy()
     p0 = np.asarray(jax.jit(lambda q: dyn.foot_positions(spec, q))(q0))
@@ -94,6 +107,17 @@ def main():
                     static_argnums=3)
     cold = jax.jit(solver.cold_start)
     ws = jax.jit(lambda p: policy_warmstart(solver, apply_fn, p, v_des))
+    ws_match = jax.jit(
+        lambda p: phase_aligned_warmstart(solver, apply_fn, p, v_des, W))
+    boot = jax.jit(lambda p: merit_phase_boot(solver, p, W))
+
+    def full_cost(p, w):
+        p2 = dc.replace(p, cnt=w, peak=1.0 - w)
+        X, U = solver.cold_start(p2)
+        s = solver.solve(X, U, p2, 15)
+        return s.stats.cost
+
+    vm_full = jax.jit(jax.vmap(full_cost, in_axes=(None, 0)))
 
     # fused cold-boot paths for latency (ONE device call each)
     @jax.jit
@@ -105,6 +129,12 @@ def main():
     def boot_policy(p):
         X, U = policy_warmstart(solver, apply_fn, p, v_des)
         return solver.solve(X, U, p, 15).X
+
+    @jax.jit
+    def boot_merit(p):
+        p2, off, _ = merit_phase_boot(solver, p, W)
+        X, U = solver.cold_start(p2)
+        return solver.solve(X, U, p2, 15).X
 
     def timeit(fn, p):
         jax.block_until_ready(fn(p))  # compile
@@ -129,6 +159,12 @@ def main():
         sc = solve(Xc, Uc, p, 15)
         Xw, Uw = ws(p)
         sw = solve(Xw, Uw, p, 15)
+        Xm, Um, pm, offm = ws_match(p)
+        sm = solve(Xm, Um, pm, 15)
+        pb, offb, _ = boot(p)
+        Xb, Ub = jax.jit(solver.cold_start)(pb)
+        sb = solve(Xb, Ub, pb, 15)
+        truth = np.asarray(vm_full(p, W))
         table[name] = {
             "naive": {"iters": int(sn.stats.sqp_iters),
                       "cost": round(float(sn.stats.cost), 2)},
@@ -136,17 +172,30 @@ def main():
                      "cost": round(float(sc.stats.cost), 2)},
             "policy": {"iters": int(sw.stats.sqp_iters),
                        "cost": round(float(sw.stats.cost), 2)},
+            "policy_match": {"iters": int(sm.stats.sqp_iters),
+                             "cost": round(float(sm.stats.cost), 2),
+                             "offset": int(offm)},
+            "merit_boot": {"iters": int(sb.stats.sqp_iters),
+                           "cost": round(float(sb.stats.cost), 2),
+                           "offset": int(offb)},
+            "true_best_offset": int(truth.argmin()),
+            "offset_cost_range": [round(float(truth.min()), 1),
+                                  round(float(truth.max()), 1)],
             "boot_latency_ms": {
                 "cold": round(timeit(boot_cold, p), 3),
                 "policy": round(timeit(boot_policy, p), 3),
+                "merit": round(timeit(boot_merit, p), 3),
             },
         }
         print(name, json.dumps(table[name]), flush=True)
 
     out = {
-        "what": ("policy warm start (shipped DAgger artifact, device-plant "
-                 "rollout) vs engineered cold_start vs acados-style naive "
-                 "init; iterations to nlp_tol + 15-iter cold-boot latency"),
+        "what": ("cold-boot init comparison with the shipped DAgger "
+                 "artifact: acados-style naive, engineered cold_start, "
+                 "policy rollout (offset 0), policy rollout + contact-"
+                 "pattern offset pick, and the production merit_phase_boot "
+                 "(vmapped 3-iter probe over all gait-phase offsets); "
+                 "iterations to nlp_tol + 15-iter cold-boot latency"),
         "hardware": jax.devices()[0].device_kind,
         "artifact": "assets/policy_go2_trot_ondevice_dagger.pkl",
         "nlp_tol": float(opt.nlp_tol),

@@ -55,3 +55,33 @@ def test_go2_trot_turning(go2):
     # turned substantially in the commanded direction
     assert ypr[0] > 0.4, ypr
     assert abs(ypr[1]) < 0.3 and abs(ypr[2]) < 0.3
+
+
+@pytest.mark.slow
+def test_divergence_cold_reboot_recovery(go2):
+    """Fault injection (SURVEY §5): a solver exception mid-run triggers an
+    automatic phase-aligned cold reboot (recover_on_divergence), and the
+    robot keeps walking — vs the reference, which latches diverged and
+    free-runs the last plan forever (`mpc.py:562-569`)."""
+    sim = Simulator(go2)
+    mpc = LocomotionMPC(go2, gait_name="trot", solve_async=False,
+                        recover_on_divergence=2)
+    mpc.set_command(np.array([0.2, 0.0, 0.0]))
+    orig = mpc.optimize
+    calls = {"n": 0}
+
+    def flaky(q, v):
+        calls["n"] += 1
+        if calls["n"] == 10:
+            raise RuntimeError("injected solver fault")
+        return orig(q, v)
+
+    mpc.optimize = flaky
+    res = sim.run(sim_time=2.0, controller=mpc)
+    assert calls["n"] > 10, "replanning did not continue after the fault"
+    assert not mpc.diverged
+    assert mpc._recoveries_left == 1
+    assert not res.fell, res
+    assert 0.2 < sim.data.qpos[2] < 0.4
+    # two cold boots happened: initial + the post-fault reboot
+    assert len(mpc.boot_offsets) >= 2, mpc.boot_offsets

@@ -1,41 +1,42 @@
-"""Policy warm starts with the SHIPPED artifact cut solver work.
+"""Cold-boot warm starts with the SHIPPED artifact: measured decomposition.
 
 BASELINE.json north star: "learned-policy warm-starts feed back into the
-solver to cut iterations". Measured here with the real
-assets/policy_go2_trot_ondevice_dagger.pkl on three start states (settled
-home stand, a perturbed mid-gait state, a post-divergence recovery state
-with height droop + tilt + lateral velocity), iterations-to-nlp_tol via
-SolveStats.sqp_iters (early stop at step_norm <= nlp_tol):
+solver to cut iterations". Round 5 closed the round-4 phase-mismatch
+diagnosis by decomposing the warm start's value (full numbers in
+BENCH_WARMSTART.json; regenerate with scripts/bench_warmstart.py):
 
-| init (vs state)           | home        | midgait     | recovery     |
+| init (vs state), CPU fp32 | home        | midgait     | recovery     |
 |---------------------------|-------------|-------------|--------------|
 | naive (x0-replicated,     | 15*, 7933   | 15*, 5806   | 15*, 14174   |
-|   zero inputs — acados-   |             |             |              |
-|   style cold)             |             |             |              |
-| engineered cold_start     |  6, 1741    |  6,  904    |  7,  5878    |
-| policy warm start         |  5, 1757    | 15,  904    | 15,  5878    |
+|   zero inputs, acados-ish)|             |             |              |
+| engineered cold_start @0  |  6, 1741    |  6,  904    |  7,  5878    |
+| policy rollout @0 (r4)    |  5, 1757    | 15,  904    | 15,  5878    |
+| policy + contact-match    |  9, 1717    | 14,  841    | 15,  5878    |
+| merit_phase_boot (PROD)   |  6, 1717    |  5,  688    |  5,  5682    |
 
-(* = hit the 15-iteration cap without reaching nlp_tol; cost = GN cost
-after the run. CPU fp32, 2026-08; regenerate with scripts/bench_warmstart.py.)
+(* = hit the 15-iteration cap; cost = GN cost after the run. TPU numbers
+in BENCH_WARMSTART.json agree on every merit_boot row: 6/5/5 iterations,
+same costs, boot latency 35/32/29 ms vs 26/28/52 ms for the fixed-offset
+cold boot — recovery boots FASTER because 2 fewer GN iterations pay for
+the vmapped probe.)
 
-BACKEND NUANCE (BENCH_WARMSTART.json, TPU): on the TPU the naive init
-happens to reach the good basin on these instances (6-11 iters) while the
-policy start converges through the slow phase-mismatch tail (13-15) and
-its plant-rollout boot costs 195 ms vs 28 ms — so the measured value of
-the policy warm start is basin ROBUSTNESS (it reaches the good solution
-on BOTH backends; the naive start lands in 3-8x-worse local minima on
-CPU fp32), not a universal iteration cut. This test pins the CPU
-behavior, where the suite runs.
+Measured decomposition (details in solver/warmstart.py docstrings):
+1. The policy rollout (X, U) GUESS never beats the engineered stationary
+   cold start — at every iteration budget the rollout's contact-pinning
+   residuals cost more GN work (midgait cost after 1/3/6 iters:
+   1.2e6/5.1e4/880 rollout vs 1.3e4/841/841 stationary).
+2. The GAIT-PHASE OFFSET of the schedule is where a cold boot has real
+   freedom: converged cost spans 688..904 (midgait) and 5682..9909
+   (recovery) across the 12 trot offsets.
+3. The policy's emergent contact pattern picks that offset UNRELIABLY
+   (its own duty cycle/period != planner schedule: picks 1 vs true 10 on
+   midgait); a vmapped 3-iteration merit probe over all offsets
+   (`merit_phase_boot`) is exact on every tested state — it is the
+   production LocomotionMPC cold-boot/divergence-recovery path
+   (phase_aligned_boot=True, recover_on_divergence).
 
-Readings pinned below:
-- vs the REFERENCE-style naive init the policy warm start is a strict win
-  on every state: it converges to the good solution while naive stalls at
-  3-8x higher cost at the iteration cap.
-- vs this repo's engineered stationary cold_start: strict iteration cut
-  from rest (5 < 6); on mid-gait states the policy's EMERGENT gait phase
-  cannot be synced to the planner's node-0 contact schedule, so the warm
-  trajectory converges to the same cost but through a slow step-norm tail
-  (honest negative result, documented in solver/warmstart.py).
+Pinned below: the policy-vs-naive strict win (basin robustness), and the
+merit boot's exactness + iteration cut (test_merit_phase_boot_*).
 """
 import os
 
@@ -145,3 +146,54 @@ def test_artifact_warmstart_cuts_solver_work(go2):
     # from-rest cold-boot state (the production first-solve path)
     assert results["home"]["warm"][0] < results["home"]["cold"][0], results
     assert results["home"]["naive"][0] == 15, results  # naive never converges
+
+@pytest.mark.slow
+def test_merit_phase_boot_finds_true_best_offset(go2):
+    """The production cold-boot path (LocomotionMPC phase_aligned_boot):
+    a vmapped 3-iteration probe over all planner offsets must rank the
+    SAME offset a full 15-iteration solve ranks best, and that offset's
+    solution must be at least as good as the fixed offset-0 boot.
+    Measured spread this guards (CPU fp32): midgait 688..904, recovery
+    5682..9909 converged cost across the 12 trot offsets."""
+    import dataclasses as dc
+
+    from iterative_learning_nmpc_tpu.solver.warmstart import (
+        contact_windows,
+        merit_phase_boot,
+    )
+
+    gait, opt, cost = get_quadruped_config("trot", "go2")
+    solver = TrajOptSolver(go2, opt, cost)
+    N = solver.N
+    planner = ContactPlanner(go2.feet_frame_names, solver.dt_nodes, gait)
+    W = jnp.asarray(contact_windows(planner, N))
+    v_des = np.array([0.3, 0.0, 0.0], np.float32)
+
+    def full_cost(p, w):
+        p2 = dc.replace(p, cnt=w, peak=1.0 - w)
+        X, U = solver.cold_start(p2)
+        s = solver.solve(X, U, p2, 15)
+        return s.stats.cost, s.stats.sqp_iters
+
+    vm_full = jax.jit(jax.vmap(lambda p, w: full_cost(p, w),
+                               in_axes=(None, 0)))
+    boot = jax.jit(lambda p: merit_phase_boot(solver, p, W))
+
+    for name, x0 in _start_states(go2).items():
+        cnt = planner.get_contacts(0, N + 1)
+        base_ref = np.zeros(12, np.float32)
+        base_ref[:3] = x0[:3]
+        base_ref[2] = gait.nom_height
+        base_ref[6] = v_des[0]
+        p = make_params(solver, x0, cnt, base_ref=base_ref,
+                        step_height=gait.step_height)
+        truth_cost, truth_iters = [np.asarray(a) for a in vm_full(p, W)]
+        p2, off, probe = boot(p)
+        off = int(off)
+        assert off == int(truth_cost.argmin()), (
+            name, off, truth_cost.round(0).tolist())
+        # the boot solution is at least as good as the offset-0 boot and
+        # costs no more iterations
+        assert truth_cost[off] <= truth_cost[0] + 1e-3, (name, truth_cost)
+        assert truth_iters[off] <= truth_iters[0], (name, truth_iters)
+        assert np.allclose(np.asarray(p2.cnt), np.asarray(W[off]))
