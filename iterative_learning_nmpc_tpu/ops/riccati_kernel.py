@@ -47,6 +47,30 @@ NUP = 32          # padded input dim inside the kernel (tile-aligned)
 LB = 128          # batch lanes per program
 
 
+def fused_rollout_max_n() -> int:
+    """Largest horizon the FUSED sweep+rollout kernel compiles at.
+
+    The rollout variant keeps the gains in VMEM scratch across the node
+    grid — K_s (N,30,36,LB) + kff_s (N,30,1,LB) = 568 KB/node — plus the
+    N-sized defect/output stacks (~52 KB/node) and ~4 MB of double-buffered
+    per-node input blocks, so its VMEM footprint grows ~0.62 MB/node.
+    Measured boundary on TPU v5e (remote Mosaic, 2026-08): N=94 compiles,
+    N=95 fails (the remote compile helper crashes with an unhelpful
+    HTTP 500 / exit 1 rather than a clean VMEM-overflow diagnostic) —
+    ~62 MB accumulated footprint at the boundary, consistent with a
+    64 MiB VMEM capacity minus compiler reserves. Root-caused as VMEM,
+    not program size: the constant-VMEM two-kernel chain
+    (riccati_pallas_lane_major raw_out + forward_rollout_lane_major),
+    with the SAME per-node instruction mix, compiles at N=100+.
+
+    Returns 88 (~93% of the measured boundary) as the dispatch threshold;
+    TrajOptSolver's fused path automatically falls back to the two-kernel
+    chain above it (K/kff pay one HBM round trip — the right trade at
+    long horizons, where they no longer fit on chip by definition).
+    """
+    return 88
+
+
 def _f(x):
     return x.astype(jnp.float32)
 

@@ -43,13 +43,17 @@ regimes where batched-solve throughput improves or horizons grow into the
 hundreds. scripts/bench_long_horizon.py reproduces the comparison and
 writes BENCH_HORIZON.json.
 
-LONG-HORIZON RECOMMENDATION (evidence-backed): use the SEQUENTIAL sweep at
-N=100 — it is 8.1x the associative scan, and the N-parameterized fused
-Pallas sweep does NOT compile at N=100 on the current toolchain (the
-remote Mosaic compile helper crashes, reproducibly, batch-independently;
-at the production N=25 the Pallas chain is the fastest mode, 45.9 ms).
-Per-step cost scales ~3.4x for 4x horizon (161/47.4), i.e. sublinear
-thanks to shared per-call overheads.
+LONG-HORIZON RECOMMENDATION (evidence-backed, updated round 5): use the
+PALLAS fused chain at every horizon. The old N=100 Mosaic failure was
+root-caused (ops/riccati_kernel.fused_rollout_max_n): the fused
+sweep+rollout variant keeps the gains in VMEM scratch (~0.62 MB/node)
+and crosses the v5e VMEM capacity at N=95 (bisected: 94 compiles, 95
+crashes the remote compile helper with an uninformative HTTP 500).
+TrajOptSolver now auto-dispatches above N=88 to the constant-VMEM
+two-kernel chain (sweep streams K/kff to HBM + forward kernel), which
+compiles at any N and measures FASTEST at N=100: 144.9 ms vs 159.7
+sequential vs 1306.9 associative (B=256; parity vs the sequential
+oracle 5.8e-6 rel). Per-step cost scales ~3.1x for 4x horizon.
 
 N=100 NUMERICS (tests/test_parallel_riccati.py::
 test_long_horizon_n100_modes_agree): in f64 the composition matches the

@@ -581,7 +581,12 @@ class TrajOptSolver:
         import numpy as _np
 
         from ..ops.dynjac_kernel import _make_consts, lingram_lane_major
-        from ..ops.riccati_kernel import riccati_rollout_lane_major
+        from ..ops.riccati_kernel import (
+            forward_rollout_lane_major,
+            fused_rollout_max_n,
+            riccati_pallas_lane_major,
+            riccati_rollout_lane_major,
+        )
         from .linearize import lingram_structured
 
         spec, w = self.spec, self.weights
@@ -632,9 +637,30 @@ class TrajOptSolver:
             terminal = (X[:, -1], xref_e, p.peak[:, :, -1],
                         jnp.broadcast_to(jnp.asarray(p.step_height), (B,)),
                         fk_consts, wTe2, swing_w, reg_e)
-            dX1, dU1 = riccati_rollout_lane_major(
-                h, lm, Qt, Rt, MTt, qxt, rut, defects, dx0,
-                terminal=terminal)
+            if U.shape[1] <= fused_rollout_max_n():
+                dX1, dU1 = riccati_rollout_lane_major(
+                    h, lm, Qt, Rt, MTt, qxt, rut, defects, dx0,
+                    terminal=terminal)
+            else:
+                # long horizons: the gains no longer fit in VMEM scratch
+                # (the fused variant's footprint grows ~0.62 MB/node and
+                # crosses the v5e capacity at N=95 — measured boundary in
+                # ops/riccati_kernel.fused_rollout_max_n). Two-kernel
+                # chain: sweep streams K/kff to HBM (constant VMEM), the
+                # forward kernel re-streams them — one (B, N, 30, 37)
+                # round trip, still no batch-major repacking.
+                Kt, kfft = riccati_pallas_lane_major(
+                    h, lm, Qt, Rt, MTt, qxt, rut, defects,
+                    terminal=terminal, raw_out=True)
+                Bp = Kt.shape[-1]
+                drt = jnp.moveaxis(
+                    jnp.concatenate([
+                        defects.astype(jnp.float32)[:, :, None, :],
+                        jnp.zeros((Bp - B,) + (defects.shape[1], 1,
+                                               defects.shape[2]),
+                                  jnp.float32)], axis=0), 0, -1)
+                dX1, dU1 = forward_rollout_lane_major(
+                    h, Kt, kfft, drt, dx0)
             return (dX1.astype(X.dtype), dU1.astype(X.dtype)), (True, True)
 
         self._fused_lr = fused

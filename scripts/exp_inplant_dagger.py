@@ -152,7 +152,14 @@ def cmd_train(args):
 # ---------------------------------------------------------------------------
 def cmd_screen(args):
     """Pure-policy 4-goal MuJoCo screen -> json. 'walks' = survives
-    eval_secs AND makes >=40% commanded-direction progress (stand: |x|<0.5)."""
+    eval_secs AND makes >=40% commanded-direction progress (stand: |x|<0.5).
+
+    --n_starts > 1 adds PERTURBED initial states (joint noise, seeds
+    1..n-1) on top of the clean start; a goal passes when >= pass_frac of
+    its starts walk. This is the selection-robustness screen (VERDICT r4
+    weak #4: single clean-start screens certify lucky checkpoints — the
+    r4 envelope bundle measures 1/3, 3/3, 0/3, 0/3 robust under 0.03 rad
+    joint noise at {0.3, 0.15, 0.0, -0.15})."""
     _cpu_jax()
     import numpy as np
 
@@ -165,20 +172,36 @@ def cmd_screen(args):
     spec = go2_spec()
     res = {}
     for g in GOALS_SCREEN:
-        sim = Simulator(spec)
-        pol = PolicyController(sim, args.policy, v_des=np.array([g, 0.0, 0.0]))
-        r = sim.run(sim_time=args.eval_secs, controller=pol)
-        x = float(sim.data.qpos[0])
-        ok = (not r.fell) and r.sim_time >= args.eval_secs - 1e-6
-        if g != 0.0:
-            ok = ok and (np.sign(x) == np.sign(g)
-                         and abs(x) >= 0.4 * abs(g) * args.eval_secs)
-        else:
-            ok = ok and abs(x) < 0.5
-        res[str(g)] = dict(t=round(float(r.sim_time), 2), x=round(x, 2),
-                           ok=bool(ok))
-        print(f"[screen] vx={g:+.2f}: t={r.sim_time:.2f} x={x:+.2f} "
-              f"{'OK' if ok else '--'}", flush=True)
+        starts = []
+        for k in range(args.n_starts):
+            sim = Simulator(spec)
+            if k > 0:
+                rng = np.random.default_rng(k)
+                sim.reset()
+                q0 = np.asarray(sim.data.qpos).copy()
+                v0 = np.asarray(sim.data.qvel).copy()
+                q0[7:] += rng.normal(0, args.start_noise, 12)
+                v0[0:3] += rng.normal(0, 0.05, 3)
+                sim.reset(q_mj=q0, v_mj=v0)
+            pol = PolicyController(sim, args.policy,
+                                   v_des=np.array([g, 0.0, 0.0]))
+            r = sim.run(sim_time=args.eval_secs, controller=pol)
+            x = float(sim.data.qpos[0])
+            ok = (not r.fell) and r.sim_time >= args.eval_secs - 1e-6
+            if g != 0.0:
+                ok = ok and (np.sign(x) == np.sign(g)
+                             and abs(x) >= 0.4 * abs(g) * args.eval_secs)
+            else:
+                ok = ok and abs(x) < 0.5
+            starts.append(dict(t=round(float(r.sim_time), 2),
+                               x=round(x, 2), ok=bool(ok)))
+        n_pass = sum(1 for s in starts if s["ok"])
+        goal_ok = n_pass >= max(1, int(np.ceil(args.pass_frac
+                                               * len(starts))))
+        res[str(g)] = dict(starts=starts, n_pass=n_pass, ok=bool(goal_ok),
+                           t=starts[0]["t"], x=starts[0]["x"])
+        print(f"[screen] vx={g:+.2f}: {n_pass}/{len(starts)} "
+              f"{'OK' if goal_ok else '--'} {starts}", flush=True)
     res["n_ok"] = sum(1 for g in GOALS_SCREEN if res[str(g)]["ok"])
     with open(args.out_json, "w") as f:
         json.dump(res, f)
@@ -331,6 +354,9 @@ def main():
     s.add_argument("--policy", required=True)
     s.add_argument("--out_json", required=True)
     s.add_argument("--eval_secs", type=float, default=5.0)
+    s.add_argument("--n_starts", type=int, default=1)
+    s.add_argument("--start_noise", type=float, default=0.03)
+    s.add_argument("--pass_frac", type=float, default=0.67)
     s.set_defaults(fn=cmd_screen)
 
     d = sub.add_parser("drive")
