@@ -30,6 +30,17 @@ Wired into TrajOptSolver as riccati_mode="pallas" through a
 jax.custom_batching.custom_vmap: unbatched solves keep the sequential scan
 (better latency at B=1), vmapped solves hit this kernel. Measured (v5e,
 B=256, N=25): 2.6x the XLA scan; bit-parity with the oracle to ~4e-6.
+
+MEASURED NEXT ARCHITECTURE (round 5, scripts/proto_sublane_riccati.py):
+a batch-in-SUBLANES re-layout — (rows, cols, 8-problems-on-sublanes,
+128-on-lanes), each matrix element one dense (8, 128) vreg, triangular
+updates as static slices on untiled dims, zero masking — runs the node
+factorize-and-solve **1.81x** faster than this kernel's layout
+(1.576 vs 2.859 ms, B=1024 N=25, bit-identical outputs). Not yet
+integrated because the win sits at the lingram->riccati interface: this
+kernel's input layout is what lingram_lane_major emits, and an HBM
+relayout between them costs more than the save. The integration path
+(re-lay both kernels) and Mosaic pitfalls are in docs/ROOFLINE.md.
 """
 from __future__ import annotations
 

@@ -55,11 +55,14 @@ def _kernel_lanes(Qxx_ref, Quu_ref, Qux_ref, qxp_ref, qu_ref,
     p_ref[0] = p
 
 
+def lay_lanes(x):
+    return jnp.moveaxis(x, 0, -1)             # (N, d1, d2, B)
+
+
 def run_lanes(Qxx, Quu, Qux, qxp, qu):
-    """Inputs batch-major (B, N, ...); layout/blast as the production
-    kernel does."""
-    B, N = Qxx.shape[:2]
-    bl = lambda x: jnp.moveaxis(x, 0, -1)     # (N, d1, d2, B)
+    """Inputs PRE-LAID (N, d1, d2, B) — timing covers the kernel only."""
+    N, B = Qxx.shape[0], Qxx.shape[-1]
+    bl = lambda x: x
     node = lambda i, j: (j, 0, 0, i)
     f32 = jnp.float32
     mk = lambda d1, d2: pl.BlockSpec((1, d1, d2, LB), node,
@@ -67,15 +70,15 @@ def run_lanes(Qxx, Quu, Qux, qxp, qu):
     return pl.pallas_call(
         _kernel_lanes,
         out_shape=[
-            jax.ShapeDtypeStruct((N, NUP, NXK, B), f32),
-            jax.ShapeDtypeStruct((N, NUP, 1, B), f32),
+            jax.ShapeDtypeStruct((N, NUK, NXK, B), f32),
+            jax.ShapeDtypeStruct((N, NUK, 1, B), f32),
             jax.ShapeDtypeStruct((N, NXK, NXK, B), f32),
             jax.ShapeDtypeStruct((N, NXK, 1, B), f32),
         ],
         grid=(B // LB, N),
         in_specs=[mk(NXK, NXK), mk(NUP, NUP), mk(NUP, NXK),
                   mk(NXK, 1), mk(NUP, 1)],
-        out_specs=[mk(NUP, NXK), mk(NUP, 1), mk(NXK, NXK), mk(NXK, 1)],
+        out_specs=[mk(NUK, NXK), mk(NUK, 1), mk(NXK, NXK), mk(NXK, 1)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
     )(bl(Qxx), bl(Quu), bl(Qux), bl(qxp), bl(qu))
@@ -84,48 +87,63 @@ def run_lanes(Qxx, Quu, Qux, qxp, qu):
 # --------------------------------------------------------------------------
 # kernel B: sublane-batch layout (rows, cols, SB, LB) — no masks, static
 # triangular slices, unrolled node loop
+def _ix(x, i, axis=0):
+    """x[i] along `axis` via lax.slice (jnp int indexing lowers through
+    gather, which Mosaic only supports in 2D)."""
+    return jax.lax.index_in_dim(x, i, axis=axis, keepdims=False)
+
+
+def _sl(x, lo, hi, axis=0):
+    return jax.lax.slice_in_dim(x, lo, hi, axis=axis)
+
+
 def _solve_node_sublane(Qxx, Quu, Qux, qxp, qu):
     """Same math as _solve_node_unrolled on (d1, d2, SB, LB) values.
     Quu (NUK, NUK), Qux (NUK, NXK), qu (NUK, 1), Qxx (NXK, NXK),
     qxp (NXK, 1) — true dims, no padding (rows/cols are untiled)."""
     eps = 1e-30
+    # right-looking Cholesky on the SHRINKING active submatrix: A always
+    # holds rows/cols [k:, k:]; every step is a static slice + dense
+    # rank-1 update (no scatter/gather — Mosaic rejects 4D .at updates),
+    # and by symmetry the pivot row IS the pivot column.
     A = Quu
     lrows = []                     # lrows[k]: (NUK-k, SB, LB) = L[k:, k]
     rss = []
     for k in range(NUK):
-        rs = jax.lax.rsqrt(jnp.maximum(A[k, k], eps))     # (SB, LB)
-        lrow = A[k, k:] * rs                               # row seg incl diag
+        row0 = _ix(A, 0)                                   # (NUK-k, SB, LB)
+        rs = jax.lax.rsqrt(jnp.maximum(_ix(row0, 0), eps))  # (SB, LB)
+        lrow = row0 * rs
         lrows.append(lrow)
         rss.append(rs)
         if k + 1 < NUK:
-            lcol = A[k + 1:, k] * rs                       # (NUK-k-1, SB, LB)
-            A = A.at[k + 1:, k + 1:].add(
-                -lcol[:, None] * lrow[None, 1:])
+            tail = _sl(lrow, 1, None)                      # (NUK-k-1, SB, LB)
+            A = (_sl(_sl(A, 1, None, 0), 1, None, 1)
+                 - tail[:, None] * tail[None, :])
 
     RHS = jnp.concatenate([Qux, qu], axis=1)               # (NUK, NXK+1,...)
     ys = []
     for k in range(NUK):
-        acc = RHS[k]                                       # (NXK+1, SB, LB)
+        acc = _ix(RHS, k)                                  # (NXK+1, SB, LB)
         for jj in range(k):
-            acc = acc - lrows[jj][k - jj] * ys[jj]         # L[k, jj] scalar-vreg
+            acc = acc - _ix(lrows[jj], k - jj) * ys[jj]    # L[k, jj]
         ys.append(acc * rss[k])
 
     zs = [None] * NUK
     for k in reversed(range(NUK)):
         acc = ys[k]
         for jj in range(k + 1, NUK):
-            acc = acc - lrows[k][jj - k] * zs[jj]          # L[jj, k]
+            acc = acc - _ix(lrows[k], jj - k) * zs[jj]     # L[jj, k]
         zs[k] = acc * rss[k]
     Z = jnp.stack(zs, axis=0)                              # (NUK, NXK+1,...)
 
     C = None
     for k in range(NUK):
         yk = ys[k]                                         # (NXK+1, SB, LB)
-        term = yk[:NXK, None] * yk[None, :]                # (NXK, NXK+1,...)
+        term = _sl(yk, 0, NXK)[:, None] * yk[None, :]      # (NXK, NXK+1,...)
         C = term if C is None else C + term
 
-    return (-Z[:, :NXK], -Z[:, NXK:],
-            Qxx - C[:, :NXK], qxp - C[:, NXK:])
+    return (-_sl(Z, 0, NXK, 1), -_sl(Z, NXK, None, 1),
+            Qxx - _sl(C, 0, NXK, 1), qxp - _sl(C, NXK, None, 1))
 
 
 def _kernel_sublane(Qxx_ref, Quu_ref, Qux_ref, qxp_ref, qu_ref,
@@ -138,18 +156,20 @@ def _kernel_sublane(Qxx_ref, Quu_ref, Qux_ref, qxp_ref, qu_ref,
     p_ref[0] = p
 
 
-def run_sublane(Qxx, Quu, Qux, qxp, qu):
-    """Inputs batch-major (B, N, d1, d2) with TRUE dims (no u padding);
-    re-laid to (N, d1, d2, SB, LB)."""
-    B, N = Qxx.shape[:2]
-    TB = SB * LB
+def lay_sublane(x, TB=SB * LB):
+    B, N, d1, d2 = x.shape
+    x = x.reshape(B // TB, SB, LB, N, d1, d2)
+    return jnp.transpose(x, (3, 4, 5, 0, 1, 2)).reshape(
+        N, d1, d2, (B // TB) * SB, LB)
 
-    def bl(x):
-        d1, d2 = x.shape[2], x.shape[3]
-        # (B, N, d1, d2) -> (nb, SB, LB, N, d1, d2) -> (N, d1, d2, nb*SB? ...)
-        x = x.reshape(B // TB, SB, LB, N, d1, d2)
-        return jnp.transpose(x, (3, 4, 5, 0, 1, 2)).reshape(
-            N, d1, d2, (B // TB) * SB, LB)
+
+def run_sublane(Qxx, Quu, Qux, qxp, qu):
+    """Inputs PRE-LAID (N, d1, d2, nb*SB, LB)."""
+    N = Qxx.shape[0]
+    B = (Qxx.shape[3] // SB) * SB * LB * 1
+    B = Qxx.shape[3] * LB
+    bl = lambda x: x
+    TB = SB * LB
 
     # block index: batch tile i covers sublane-group slice [i*SB, (i+1)*SB)
     node = lambda i, j: (j, 0, 0, i, 0)
@@ -159,17 +179,21 @@ def run_sublane(Qxx, Quu, Qux, qxp, qu):
     return pl.pallas_call(
         _kernel_sublane,
         out_shape=[
-            jax.ShapeDtypeStruct((N, NUK, NXK, (B // TB) * SB, LB), f32),
-            jax.ShapeDtypeStruct((N, NUK, 1, (B // TB) * SB, LB), f32),
-            jax.ShapeDtypeStruct((N, NXK, NXK, (B // TB) * SB, LB), f32),
-            jax.ShapeDtypeStruct((N, NXK, 1, (B // TB) * SB, LB), f32),
+            jax.ShapeDtypeStruct((N, NUK, NXK, Qxx.shape[3], LB), f32),
+            jax.ShapeDtypeStruct((N, NUK, 1, Qxx.shape[3], LB), f32),
+            jax.ShapeDtypeStruct((N, NXK, NXK, Qxx.shape[3], LB), f32),
+            jax.ShapeDtypeStruct((N, NXK, 1, Qxx.shape[3], LB), f32),
         ],
-        grid=(B // TB, N),
+        grid=(Qxx.shape[3] // SB, N),
         in_specs=[mk(NXK, NXK), mk(NUK, NUK), mk(NUK, NXK),
                   mk(NXK, 1), mk(NUK, 1)],
         out_specs=[mk(NUK, NXK), mk(NUK, 1), mk(NXK, NXK), mk(NXK, 1)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")),
+            dimension_semantics=("parallel", "arbitrary"),
+            # the (8, 128)-problem tile moves ~23 MB of blocks per grid
+            # step (x2 double-buffered) — above the default 16 MB scoped-
+            # vmem budget, within the chip's capacity
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(bl(Qxx), bl(Quu), bl(Qux), bl(qxp), bl(qu))
 
 
@@ -206,17 +230,20 @@ def main():
     fA = jax.jit(run_lanes)
     fB = jax.jit(run_sublane)
 
-    outA = jax.block_until_ready(fA(
+    layA = jax.jit(lambda *xs: tuple(lay_lanes(x) for x in xs))
+    layB = jax.jit(lambda *xs: tuple(lay_sublane(x) for x in xs))
+    argsA = jax.block_until_ready(layA(
         jnp.asarray(Qxx), jnp.asarray(Quu_p), jnp.asarray(Qux_p),
         jnp.asarray(qxp), jnp.asarray(qu_p)))
-    outB = jax.block_until_ready(fB(
+    argsB = jax.block_until_ready(layB(
         jnp.asarray(Qxx), jnp.asarray(Quu), jnp.asarray(Qux),
         jnp.asarray(qxp), jnp.asarray(qu)))
+    outA = jax.block_until_ready(fA(*argsA))
+    outB = jax.block_until_ready(fB(*argsB))
 
     # cross-check: un-lay both to batch-major and compare K
-    KA = np.moveaxis(np.asarray(outA[0]), -1, 0)[:, :, :NUK]  # (B,N,30,36)?
-    # outA[0] is (N, NUP, NXK, B) -> (B, N, NUP, NXK)
-    KA = np.transpose(np.asarray(outA[0]), (3, 0, 1, 2))[:, :, :NUK]
+    # outA[0] is (N, NUK, NXK, B) -> (B, N, NUK, NXK)
+    KA = np.transpose(np.asarray(outA[0]), (3, 0, 1, 2))
     KBt = np.asarray(outB[0])                      # (N, 30, 36, nb*SB, LB)
     nb = B // (SB * LB)
     KB = KBt.reshape(N, NUK, NXK, nb, SB, LB)
@@ -224,19 +251,10 @@ def main():
     dk = np.max(np.abs(KA - KB)) / max(np.max(np.abs(KA)), 1e-9)
     print(f"cross-check rel max|dK| = {dk:.2e}")
 
-    from _timing import timeit as _t  # noqa: F401  (fence helper exists)
+    from _timing import timeit as fence_timeit
 
-    def timeit(fn, *xs):
-        jax.block_until_ready(fn(*xs))
-        t0 = time.perf_counter()
-        for _ in range(args.reps):
-            jax.block_until_ready(fn(*xs))
-        return (time.perf_counter() - t0) / args.reps * 1e3
-
-    argsA = tuple(jnp.asarray(x) for x in (Qxx, Quu_p, Qux_p, qxp, qu_p))
-    argsB = tuple(jnp.asarray(x) for x in (Qxx, Quu, Qux, qxp, qu))
-    tA = timeit(fA, *argsA)
-    tB = timeit(fB, *argsB)
+    tA = fence_timeit(fA, *argsA, reps=args.reps)
+    tB = fence_timeit(fB, *argsB, reps=args.reps)
     print(f"B={B} N={N} reps={args.reps}")
     print(f"lanes   (production layout): {tA:.3f} ms  "
           f"({B * N / tA * 1e3 / 1e6:.1f}M node-solves/s)")
