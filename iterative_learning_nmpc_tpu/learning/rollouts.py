@@ -258,12 +258,17 @@ def rollout_combined(
     mpc_min_steps: int = 2500,
     simulator: Optional[Simulator] = None,
     start_state: Optional[Tuple[np.ndarray, np.ndarray]] = None,
+    force_schedule: Optional[Sequence[ForceWindow]] = None,
 ) -> RolloutResult:
     """SafeDAgger rollout: policy with MPC fallback; records is_expert per
     step for expert relabeling. `start_state` (mujoco chart) lets in-plant
     data collection diversify rollout starts the way the reference's
     perturbed-restart expert rollouts do (`DAgger/utils/RolloutMPC.py:
-    324-439`); default is the reference's home start."""
+    324-439`); `force_schedule` applies timed base pushes during the
+    combined rollout (the reference's fault-injection windows,
+    `RolloutMPC_force_at_interval.py:384-390`, here driving expert
+    takeover -> recovery demonstrations). Defaults keep the reference's
+    clean home start."""
     sim = simulator or Simulator(spec)
     if start_state is not None:
         sim.reset(q_mj=np.asarray(start_state[0]),
@@ -292,7 +297,8 @@ def rollout_combined(
             recorder.record(mj_data, is_expert=combined.mpc_active)
 
     res = sim.run(sim_time=sim_time, controller=combined,
-                  data_recorder=_RecorderShim(), stop_on_fall=True)
+                  data_recorder=_RecorderShim(), stop_on_fall=True,
+                  force_schedule=force_schedule)
     early = early_termination(res, sim_time)
     path = recorder.save() if len(recorder.data["time"]) else ""
     return RolloutResult(sim=res, record_path=path, early_termination=early,

@@ -109,8 +109,14 @@ class BehavioralCloning:
         ood_mask: Optional[np.ndarray] = None,
         val_database: Optional[Database] = None,
         warm_start_path: Optional[str] = None,
+        sample_weights: Optional[np.ndarray] = None,
     ) -> str:
-        """Train; returns the path of the final policy payload."""
+        """Train; returns the path of the final policy payload.
+
+        `sample_weights`: explicit per-row sampling weights (length =
+        len(database)); overrides the OOD x5 rule. Used e.g. for per-goal
+        balanced sampling over a multi-goal aggregate (the measured
+        single-policy interference mitigation, docs/TRANSFER.md)."""
         cfg = self.cfg
         X, Y = database.training_arrays()
         n = len(X)
@@ -120,7 +126,10 @@ class BehavioralCloning:
         val_idx, train_idx = perm[:n_val], perm[n_val:]
 
         # sampling weights: OOD samples x ood_weight (test_train_policy.py:127-134)
-        w_train = make_sample_weights(n, ood_mask, cfg.ood_weight)[train_idx]
+        if sample_weights is not None:
+            w_train = np.asarray(sample_weights, np.float64)[train_idx]
+        else:
+            w_train = make_sample_weights(n, ood_mask, cfg.ood_weight)[train_idx]
         p_train = w_train / w_train.sum()
 
         key = jax.random.PRNGKey(cfg.seed)

@@ -58,14 +58,25 @@ def cmd_collect(args):
 
     spec = go2_spec()
     sim = Simulator(spec)
+    rng = np.random.default_rng(args.seed)
     start_state = None
     if args.joint_noise > 0:
-        rng = np.random.default_rng(args.seed)
         sim.reset()
         q0 = np.asarray(sim.data.qpos).copy()
         v0 = np.asarray(sim.data.qvel).copy()
         q0[7:] += rng.normal(0.0, args.joint_noise, 12)
         start_state = (q0, v0)
+    forces = None
+    if args.n_pushes > 0:
+        # reference-magnitude randomized base pushes (50-70 N, 0.2-0.4 s)
+        from iterative_learning_nmpc_tpu.learning.rollouts import (
+            sample_force_perturbation,
+        )
+
+        seg = args.sim_time / args.n_pushes
+        forces = [sample_force_perturbation(rng, i * seg + 1.0,
+                                            (i + 1) * seg - 0.5)
+                  for i in range(args.n_pushes)]
 
     t0 = time.time()
     r = rollout_combined(
@@ -74,6 +85,7 @@ def cmd_collect(args):
         record_dir=os.path.dirname(args.out_npz), simulator=sim,
         monitor=args.monitor, delay_steps=args.delay_steps,
         mpc_min_steps=args.mpc_min_steps, start_state=start_state,
+        force_schedule=forces,
     )
     rec = r.recorder
     data = {k: np.asarray(v) for k, v in rec.data.items()}
@@ -141,8 +153,33 @@ def cmd_train(args):
         ckpt_every=max(args.epochs, 1),  # final only
     )
     bc = BehavioralCloning(tc)
+    weights = None
+    if args.balance_goals:
+        # per-goal-bin balanced sampling: equal expected draw volume per
+        # commanded-vx bin — the measured interference mitigation for the
+        # single multi-goal policy (docs/TRANSFER.md sloshing analysis)
+        vx = db.goals_array()[:, 0]
+        bins = np.round(vx / 0.05).astype(int)
+        _, inv, cnt = np.unique(bins, return_inverse=True,
+                                return_counts=True)
+        weights = 1.0 / cnt[inv]
+        print(f"[train] goal-balanced sampling over "
+              f"{len(cnt)} vx bins (rows/bin min {cnt.min()} "
+              f"max {cnt.max()})", flush=True)
+    if args.inplant_weight != 1.0 and len(db) > args.base_rows:
+        # upweight the IN-PLANT expert rows (append order beyond the
+        # curriculum base) so the plant-relabeled data is not homeopathic
+        # against a multi-million-row sim aggregate — same mechanism as
+        # the reference's OOD x5 WeightedRandomSampler
+        if weights is None:
+            weights = np.ones(len(db))
+        weights = weights.copy()
+        weights[args.base_rows:] *= args.inplant_weight
+        print(f"[train] in-plant rows [{args.base_rows}:{len(db)}] "
+              f"x{args.inplant_weight}", flush=True)
     t0 = time.time()
-    final = bc.run(db, warm_start_path=args.warm_start)
+    final = bc.run(db, warm_start_path=args.warm_start,
+                   sample_weights=weights)
     m = bc.metrics[-1]
     print(f"[train] {args.epochs} epochs in {time.time()-t0:.0f}s "
           f"train={m['train_loss']:.4f} val={m['val_loss']:.4f}", flush=True)
@@ -254,7 +291,8 @@ def cmd_drive(args):
                    "--joint_noise", "0.0" if k == 0 else str(args.joint_noise),
                    "--mpc_min_steps", str(args.mpc_min_steps),
                    "--delay_steps", str(args.delay_steps),
-                   "--monitor", args.monitor]
+                   "--monitor", args.monitor,
+                   "--n_pushes", "0" if k == 0 else str(args.n_pushes)]
             lf = open(os.path.join(sdir, f"collect_{k}.log"), "w")
             procs.append((subprocess.Popen(cmd, stdout=lf, stderr=lf), lf))
         for p, lf in procs:
@@ -278,8 +316,12 @@ def cmd_drive(args):
                "--run_name", tag, "--epochs", str(args.epochs),
                "--lr", str(args.lr), "--batch_size", str(args.batch_size),
                "--device", args.train_device, "--seed", str(step_i),
-               "--traj_base", str(1000 * (step_i + 1)),
-               "--rows"] + [n for n in npzs if os.path.exists(n)]
+               "--traj_base", str(1000 * (step_i + 1))]
+        if args.balance_goals:
+            cmd.append("--balance_goals")
+        cmd += ["--inplant_weight", str(args.inplant_weight),
+                "--base_rows", str(args.base_rows)]
+        cmd += ["--rows"] + [n for n in npzs if os.path.exists(n)]
         tl = os.path.join(sdir, "train.log")
         with open(tl, "w") as lf:
             subprocess.run(cmd, stdout=lf, stderr=lf, check=True)
@@ -295,7 +337,8 @@ def cmd_drive(args):
         with open(os.path.join(sdir, "screen.log"), "w") as lf:
             subprocess.run([py, me, "screen", "--policy", final,
                             "--out_json", sj,
-                            "--eval_secs", str(args.eval_secs)],
+                            "--eval_secs", str(args.eval_secs),
+                            "--n_starts", str(args.screen_starts)],
                            stdout=lf, stderr=lf, check=True)
         with open(sj) as f:
             screen = json.load(f)
@@ -333,6 +376,7 @@ def main():
     c.add_argument("--mpc_min_steps", type=int, default=2500)
     c.add_argument("--delay_steps", type=int, default=100)
     c.add_argument("--monitor", default="v2")
+    c.add_argument("--n_pushes", type=int, default=0)
     c.set_defaults(fn=cmd_collect)
 
     t = sub.add_parser("train")
@@ -348,6 +392,9 @@ def main():
     t.add_argument("--device", default="cpu", choices=("cpu", "tpu"))
     t.add_argument("--seed", type=int, default=0)
     t.add_argument("--traj_base", type=int, default=1000)
+    t.add_argument("--balance_goals", action="store_true")
+    t.add_argument("--inplant_weight", type=float, default=1.0)
+    t.add_argument("--base_rows", type=int, default=0)
     t.set_defaults(fn=cmd_train)
 
     s = sub.add_parser("screen")
@@ -374,6 +421,11 @@ def main():
     d.add_argument("--batch_size", type=int, default=256)
     d.add_argument("--train_device", default="cpu", choices=("cpu", "tpu"))
     d.add_argument("--eval_secs", type=float, default=5.0)
+    d.add_argument("--screen_starts", type=int, default=1)
+    d.add_argument("--balance_goals", action="store_true")
+    d.add_argument("--n_pushes", type=int, default=0)
+    d.add_argument("--inplant_weight", type=float, default=1.0)
+    d.add_argument("--base_rows", type=int, default=0)
     d.add_argument("--seed_policy", default=os.path.join(
         REPO, "assets", "policy_go2_trot_host_bc.pkl"))
     d.add_argument("--seed_datasets", default=",".join([
