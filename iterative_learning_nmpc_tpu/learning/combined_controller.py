@@ -18,13 +18,6 @@ from ..models import transforms_np as tnp
 from ..mpc.controller import LocomotionMPC
 from ..sim.mujoco_sim import Simulator
 from .policy_controller import PolicyController
-from .safety import (
-    JOINT_BOUNDS_DEG,
-    JOINT_BOUNDS_FLAT,
-    UNSAFE_HEIGHT_BOUNDS,
-    UNSAFE_MAX_ROLL_PITCH_DEG,
-    VEL_TRACK_TOL,
-)
 
 
 class CombinedController:
@@ -84,27 +77,12 @@ class CombinedController:
 
     def check_unsafe_state_v2(self, mj_data) -> bool:
         """Pose + joint-limit + velocity-tracking monitor (`:367-446`);
-        thresholds from learning/safety.py (single source of truth)."""
-        q = np.asarray(mj_data.qpos)
-        v = np.asarray(mj_data.qvel)
-        ypr = tnp.matrix_to_ypr(tnp.quat_wxyz_to_matrix(q[3:7]))
-        roll, pitch = ypr[2], ypr[1]
-        max_rp = np.deg2rad(UNSAFE_MAX_ROLL_PITCH_DEG)
-        lo_h, hi_h = UNSAFE_HEIGHT_BOUNDS
-        unsafe_pose = (
-            abs(roll) > max_rp
-            or abs(pitch) > max_rp
-            or q[2] < lo_h
-            or q[2] > hi_h
-        )
-        joint_deg = np.rad2deg(q[7:])
-        joint_violation = bool(
-            np.any(joint_deg < JOINT_BOUNDS_FLAT[:, 0])
-            or np.any(joint_deg > JOINT_BOUNDS_FLAT[:, 1])
-        )
-        vel_err = np.abs(v[:2] - self.v_des[:2])
-        unsafe_tracking = bool(np.any(vel_err > VEL_TRACK_TOL))
-        return bool(unsafe_pose or joint_violation or unsafe_tracking)
+        single implementation shared with the batched plant collector
+        (learning/safety.check_unsafe_state_v2)."""
+        from .safety import check_unsafe_state_v2
+
+        return check_unsafe_state_v2(
+            np.asarray(mj_data.qpos), np.asarray(mj_data.qvel), self.v_des)
 
     def _unsafe(self, mj_data) -> bool:
         if self.monitor == "v1":

@@ -107,6 +107,45 @@ def save_policy_bundle(path: str, entries) -> str:
     return path
 
 
+def make_numpy_apply(path: str, v_des=None):
+    """Pure-NUMPY batched policy forward (B, 44+3) -> (B, 12) with the
+    payload's normalization folded in. For host loops that must never
+    touch the device (the axon tunnel makes per-step jnp dispatch a
+    round-trip): the batched plant collector's 1 kHz policy branch."""
+    import numpy as _np
+
+    net, variables, norm = load_policy(path, v_des=v_des)
+    if norm is None:
+        norm = (_np.zeros(44, _np.float32), _np.ones(44, _np.float32),
+                _np.zeros(3, _np.float32), _np.ones(3, _np.float32))
+    mu_s, sd_s, mu_g, sd_g = [_np.asarray(x, _np.float64) for x in norm]
+    sd_s = _np.where(sd_s > 1e-8, sd_s, 1.0)
+    sd_g = _np.where(sd_g > 1e-8, sd_g, 1.0)
+    params = jax.tree.map(lambda x: _np.asarray(x, _np.float64),
+                          variables["params"])
+    stats = jax.tree.map(lambda x: _np.asarray(x, _np.float64),
+                         variables.get("batch_stats", {}))
+
+    def apply_fn(x):
+        x = _np.asarray(x, _np.float64)
+        h = x.copy()
+        h[:, 1:44] = (h[:, 1:44] - mu_s[1:]) / sd_s[1:]
+        h[:, 44:] = (h[:, 44:] - mu_g) / sd_g
+        for i in range(net.num_hidden_layer):
+            d = params[f"Dense_{i}"]
+            h = h @ d["kernel"] + d["bias"]
+            if net.batch_norm:
+                b = params[f"BatchNorm_{i}"]
+                s = stats[f"BatchNorm_{i}"]
+                h = ((h - s["mean"]) / _np.sqrt(s["var"] + 1e-5)
+                     * b["scale"] + b["bias"])
+            h = _np.maximum(h, 0.0)
+        d = params[f"Dense_{net.num_hidden_layer}"]
+        return h @ d["kernel"] + d["bias"]
+
+    return apply_fn
+
+
 def make_policy_apply(path: str, v_des=None):
     """(47,) -> (12,) single-sample apply with the payload's normalization
     folded in (state columns 1: and goal; phase column passes through —

@@ -37,3 +37,34 @@ JOINT_BOUNDS_FLAT = np.asarray(
 # --- hard-fall detection (rollout discard) ---
 FALL_HEIGHT_BOUNDS = (0.15, 0.5)           # m
 FALL_MAX_TILT_RAD = 0.5                    # rad, |roll| and |pitch|
+
+
+def check_unsafe_state_v2(q_mj: np.ndarray, v_mj: np.ndarray,
+                          v_des: np.ndarray,
+                          height_bounds=UNSAFE_HEIGHT_BOUNDS) -> bool:
+    """Pose + joint-limit + velocity-tracking monitor on mujoco-chart
+    state (reference `Rollout_combined_controller.py:367-446`). Standalone
+    numpy function so the single-env CombinedController and the batched
+    plant collector share one implementation."""
+    from ..models import transforms_np as tnp
+
+    q = np.asarray(q_mj)
+    v = np.asarray(v_mj)
+    ypr = tnp.matrix_to_ypr(tnp.quat_wxyz_to_matrix(q[3:7]))
+    roll, pitch = ypr[2], ypr[1]
+    max_rp = np.deg2rad(UNSAFE_MAX_ROLL_PITCH_DEG)
+    lo_h, hi_h = height_bounds
+    unsafe_pose = (
+        abs(roll) > max_rp
+        or abs(pitch) > max_rp
+        or q[2] < lo_h
+        or q[2] > hi_h
+    )
+    joint_deg = np.rad2deg(q[7:])
+    joint_violation = bool(
+        np.any(joint_deg < JOINT_BOUNDS_FLAT[:, 0])
+        or np.any(joint_deg > JOINT_BOUNDS_FLAT[:, 1])
+    )
+    vel_err = np.abs(v[:2] - np.asarray(v_des)[:2])
+    unsafe_tracking = bool(np.any(vel_err > VEL_TRACK_TOL))
+    return bool(unsafe_pose or joint_violation or unsafe_tracking)

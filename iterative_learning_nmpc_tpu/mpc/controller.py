@@ -182,6 +182,9 @@ class LocomotionMPC:
             return (sol.X, sol.U, lam_new, sol.lam_ineq, q_plan, v_plan,
                     a_plan, f_plan, tau_ff, sol.stats)
 
+        # raw (unjitted) plan fn — the batched plant collector vmaps it
+        # over an env axis (learning/plant_batch.py)
+        self._plan_fn = plan
         self._plan_jit = jax.jit(plan, static_argnums=6)
 
     # ------------------------------------------------------------------

@@ -43,9 +43,16 @@ class _TorqueRecorder(DataRecorder):
 
 @pytest.fixture(scope="module")
 def walking_traj(go2):
-    """1 s of recorded Go2 trot in MuJoCo under the MPC expert."""
+    """1 s of recorded Go2 trot in MuJoCo under the MPC expert.
+
+    phase_aligned_boot is pinned OFF: this fixture feeds sim-transfer
+    ORACLE pins whose tolerances were calibrated on the offset-0 boot
+    trajectory (the merit boot picks offset 11 from home and shifts the
+    whole gait phase, moving the 1 s replay drift from 0.13 to 0.157 m —
+    same transfer quality, different trajectory)."""
     sim = Simulator(go2)
-    mpc = LocomotionMPC(go2, gait_name="trot", solve_async=False)
+    mpc = LocomotionMPC(go2, gait_name="trot", solve_async=False,
+                        phase_aligned_boot=False)
     mpc.set_command(np.array([0.3, 0.0, 0.0]))
     rec = _TorqueRecorder()
     res = sim.run(sim_time=1.0, controller=mpc, data_recorder=rec)
