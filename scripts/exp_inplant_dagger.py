@@ -403,7 +403,7 @@ def main():
     s.add_argument("--eval_secs", type=float, default=5.0)
     s.add_argument("--n_starts", type=int, default=1)
     s.add_argument("--start_noise", type=float, default=0.03)
-    s.add_argument("--pass_frac", type=float, default=0.67)
+    s.add_argument("--pass_frac", type=float, default=0.6)
     s.set_defaults(fn=cmd_screen)
 
     d = sub.add_parser("drive")
