@@ -23,6 +23,18 @@ Everything is subprocess-per-stage so collects parallelize on CPU cores
 and a retrain can target the TPU without the orchestrator importing JAX.
 
     python scripts/exp_inplant_dagger.py drive --out /root/repo/.expr/dagger5
+
+MEASURED OUTCOME (round 5, the faithful 16-step run): at single-env
+collection rates (~0.12 env-sim-s per wall-second) the protocol is
+data-starved — every checkpoint was fragile under perturbed starts
+(screen --n_starts 3: 0/4 robust throughout), mirroring the near-
+threshold tipping the reference's own checkpoint logs show. The run that
+produced the shipped robust artifact uses the SAME protocol through the
+batched-expert plant collector at ~60x the rate
+(learning/plant_batch.py, scripts/exp_plant_scale.py,
+BENCH_INPLANT.json). This driver remains the reference-faithful
+single-env form, and its `collect`/`train`/`screen` subcommands are the
+shared building blocks of the scale campaign.
 """
 import argparse
 import json
