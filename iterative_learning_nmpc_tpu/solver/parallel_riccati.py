@@ -35,7 +35,7 @@ tests/test_parallel_riccati.py.
 
 MEASURED STATUS (v5e, B=256, full-RTI-step wall — BENCH_HORIZON.json,
 2026-08-21): the sequential sweep beats this associative scan at both
-N=25 (47.4 ms vs 282.3 ms) and N=100 (161.0 ms vs 1307.2 ms) — each
+N=25 (48.3 ms vs 282.4 ms) and N=100 (159.7 ms vs 1306.9 ms) — each
 composition costs a batched nonsymmetric 36x36 LU solve, and XLA-TPU LU
 throughput erases the log-depth advantage. Kept as a correctness-validated
 option (MPCOptConfig.riccati_mode="associative") for hardware/problem
