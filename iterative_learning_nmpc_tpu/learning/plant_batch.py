@@ -238,24 +238,35 @@ class BatchedPlantCollector:
             else:
                 k_plan = min(step % self.replan_steps, self.keep - 1)
 
-            # ---- numpy policy branch (combined mode) ----
+            # ---- per-env pre-step state, computed ONCE and shared by the
+            # policy obs and the recorder rows ----
+            states44 = [None] * E
+            for e, sim in enumerate(sims):
+                if not active[e]:
+                    continue
+                feet = np.array([sim.data.geom_xpos[g]
+                                 for g in sim.foot_geoms])
+                states44[e] = assemble_state(
+                    np.asarray(sim.data.qpos), np.asarray(sim.data.qvel),
+                    feet)
+
             tau_pol = None
             if self._policy is not None:
                 obs = np.zeros((E, 47))
-                for e, sim in enumerate(sims):
-                    feet = np.array([sim.data.geom_xpos[g]
-                                     for g in sim.foot_geoms])
-                    obs[e, :44] = assemble_state(
-                        np.asarray(sim.data.qpos), np.asarray(sim.data.qvel),
-                        feet)
-                    obs[e, 44:] = v_des[e]
+                for e in range(E):
+                    if states44[e] is not None:
+                        obs[e, :44] = states44[e]
+                        obs[e, 44:] = v_des[e]
                 act = self._policy(obs)                    # (E, 12)
                 tau_pol = np.zeros((E, 12))
                 for e, sim in enumerate(sims):
+                    if not active[e]:
+                        continue
                     qj = np.asarray(sim.data.qpos[7:])
                     vj = np.asarray(sim.data.qvel[6:])
                     tau_pol[e] = 20.0 * (act[e] - qj) - 1.5 * vj
 
+            cc_batch = rng.normal(0.0, 0.1, (E, 8))
             for e, sim in enumerate(sims):
                 if not active[e]:
                     continue
@@ -291,12 +302,10 @@ class BatchedPlantCollector:
                 # record BEFORE stepping (recorder contract): action is the
                 # realized PD target of the APPLIED torque
                 if use_expert or not record_expert_only_rows:
-                    feet = np.array([sim.data.geom_xpos[g]
-                                     for g in sim.foot_geoms])
-                    rows["state"].append(assemble_state(q_mj, v_mj, feet))
+                    rows["state"].append(states44[e])
                     rows["action"].append((tau + 1.5 * vj) / 20.0 + qj)
                     rows["vc"].append(v_des[e])
-                    rows["cc"].append(rng.normal(0.0, 0.1, 8))
+                    rows["cc"].append(cc_batch[e])
                     rows["t"].append(t)
                     rows["env"].append(e)
                     rows["exp"].append(int(use_expert))
